@@ -1,0 +1,185 @@
+"""Discrete Gibbs machinery — adjacency, SBM types, conjugate hypers.
+
+Rebuild of the discrete updates in ``pyglm/inference/gibbs.py`` (SURVEY.md §2
+"MCMC: Gibbs loop", §3.3). The reference sweeps A entry-by-entry, evaluating
+the full conditional log-p at A_ij ∈ {0,1} — an O(N²) sweep of full
+likelihood evaluations. Here the same sweep uses the **incremental Δlog-lik
+trick** (SURVEY.md §7 "Hard parts"): flipping A[n, m] only perturbs neuron
+n's current by W[n,m]·ψ[:, n, m], where
+
+    ψ[t, n, m] = X_imp[t, m, :] · w_eff[n, m, :]
+
+is precomputed once per sweep (one batched einsum on the MXU). Because the
+likelihood factorizes over postsynaptic neurons and every graph prior has
+conditionally independent edges given its latents, all N rows of A update in
+parallel (``vmap`` over n) while entries within a row update sequentially
+(``lax.scan`` over m, carrying the running current) — exactly the reference's
+per-neuron parallelism mapped onto the TPU vector unit.
+
+Also here: Gibbs over SBM type assignments y (sequential scan over neurons,
+vectorized over the K classes), conjugate Beta/Dirichlet hyper resampling for
+the SBM block matrix and mixing weights, conjugate Beta update for the
+Erdős–Rényi density, and prior refresh of disconnected weights (the exact
+conditional p(W[n,m] | A[n,m]=0) is the prior).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "compute_psi",
+    "update_adjacency",
+    "refresh_disconnected_weights",
+    "update_sbm_types",
+    "update_sbm_hypers",
+    "update_er_rho",
+]
+
+
+def compute_psi(pop, params, data) -> jax.Array:
+    """Unit-coupling currents ψ (T, N_post, N_pre) (see module docstring)."""
+    w_eff = pop.impulse.effective(params)  # (N, N, B)
+    return jnp.einsum("tmb,nmb->tnm", data["X_imp"], w_eff)
+
+
+def rest_current(pop, params, data) -> jax.Array:
+    """(T, N) currents from everything except the coupling term."""
+    I = pop.bias.current(params, data)
+    I = I + pop.bkgd.current(params, data)
+    return I
+
+
+def update_adjacency(key, pop, params, data):
+    """Collapsed-Gibbs sweep over all N² adjacency entries.
+
+    p(A[n,m]=1 | rest) ∝ p_prior(n,m) · exp(LL_n(I_rest + ψ·W added))
+    — sampled row-parallel / entry-sequential as described above.
+    """
+    if pop.graph.fixed_A:
+        return params
+
+    S, dt, nlin, obs = data["S"], pop.dt, pop.nlin, pop.observation
+    N = pop.N
+    psi = compute_psi(pop, params, data)  # (T, N, N)
+    I_rest = rest_current(pop, params, data)  # (T, N)
+    W = pop.weights.effective_W(params)  # (N, N)
+    P = pop.graph.edge_prob(params)
+    logit_prior = jnp.log(jnp.clip(P, 1e-12, 1.0)) - jnp.log(jnp.clip(1.0 - P, 1e-12, 1.0))
+
+    def ll_of(I_n, S_n):
+        return jnp.sum(obs.log_likelihood(S_n, I_n, nlin, dt))
+
+    def row_update(key_n, A_n, W_n, psi_n, S_n, I_rest_n, logit_n):
+        # psi_n: (T, N_pre); running current for this postsynaptic neuron.
+        I_n = I_rest_n + psi_n @ (A_n * W_n)
+        keys = jax.random.split(key_n, N)
+
+        def step(carry, inp):
+            I_n, A_n = carry
+            m, k = inp
+            contrib = W_n[m] * psi_n[:, m]
+            I_wo = I_n - A_n[m] * contrib
+            delta = ll_of(I_wo + contrib, S_n) - ll_of(I_wo, S_n)
+            logit_post = delta + logit_n[m]
+            a_new = jax.random.bernoulli(k, jax.nn.sigmoid(logit_post)).astype(A_n.dtype)
+            I_n = I_wo + a_new * contrib
+            A_n = A_n.at[m].set(a_new)
+            return (I_n, A_n), None
+
+        (I_n, A_n), _ = jax.lax.scan(step, (I_n, A_n), (jnp.arange(N), keys))
+        return A_n
+
+    keys = jax.random.split(key, N)
+    A_new = jax.vmap(row_update)(
+        keys,
+        params["A"],
+        W,
+        jnp.moveaxis(psi, 1, 0),  # (N_post, T, N_pre)
+        S.T,
+        I_rest.T,
+        logit_prior,
+    )
+    return {**params, "A": A_new}
+
+
+def refresh_disconnected_weights(key, pop, params):
+    """Resample W[n,m] | A[n,m]=0 from its prior (the exact conditional)."""
+    if not pop.weights.has_W:
+        return params
+    MU, SIG = pop.weights.prior_mu_sigma()
+    W_prior = MU + SIG * jax.random.normal(key, params["W"].shape)
+    W = jnp.where(params["A"] > 0, params["W"], W_prior)
+    return {**params, "W": W}
+
+
+def update_sbm_types(key, pop, params):
+    """Sequential Gibbs over SBM type assignments y_n (scan over neurons,
+    vectorized over the K classes):
+
+    p(y_n=k | rest) ∝ π_k · Π_{m≠n} B[k,y_m]^{A_nm}(1-·)^{1-A_nm}
+                         · Π_{m≠n} B[y_m,k]^{A_mn}(1-·)^{1-A_mn}
+                         · B[k,k]^{A_nn}(1-·)^{1-A_nn}
+    """
+    if pop.graph.name != "sbm":
+        return params
+    A, y, pi, Bm = params["A"], params["y"], params["pi"], params["Bm"]
+    N, K = pop.N, Bm.shape[0]
+    logB1 = jnp.log(jnp.clip(Bm, 1e-12, 1.0))
+    logB0 = jnp.log(jnp.clip(1.0 - Bm, 1e-12, 1.0))
+    log_pi = jnp.log(jnp.clip(pi, 1e-12, 1.0))
+
+    def step(y, inp):
+        n, k_n = inp
+        onehot_m = jax.nn.one_hot(y, K)  # (N, K) current assignments
+        # out-edges n→·  (row n of A uses B[k, y_m]); mask self term
+        mask = (jnp.arange(N) != n).astype(A.dtype)
+        a_out, a_in = A[n, :], A[:, n]
+        # (K,) log-lik of row/col under candidate class k
+        ll_out = (mask * a_out) @ onehot_m @ logB1.T + (mask * (1 - a_out)) @ onehot_m @ logB0.T
+        ll_in = (mask * a_in) @ onehot_m @ logB1 + (mask * (1 - a_in)) @ onehot_m @ logB0
+        ll_self = A[n, n] * jnp.diag(logB1) + (1.0 - A[n, n]) * jnp.diag(logB0)
+        logits = log_pi + ll_out + ll_in + ll_self
+        y_n = jax.random.categorical(k_n, logits)
+        return y.at[n].set(y_n), None
+
+    keys = jax.random.split(key, N)
+    y_new, _ = jax.lax.scan(step, y, (jnp.arange(N), keys))
+    return {**params, "y": y_new}
+
+
+def update_sbm_hypers(key, pop, params):
+    """Conjugate resampling: π | y ~ Dir(α0 + counts);
+    B[k,k'] | A, y ~ Beta(b0 + edges, b1 + pairs − edges)."""
+    if pop.graph.name != "sbm":
+        return params
+    spec = pop.spec["network"]["graph"]
+    K = int(spec.get("K", 2))
+    alpha0 = float(spec.get("alpha0", 1.0))
+    b0, b1 = [float(v) for v in spec.get("B_prior", (1.0, 1.0))]
+    A, y = params["A"], params["y"]
+
+    k1, k2 = jax.random.split(key)
+    onehot = jax.nn.one_hot(y, K)  # (N, K)
+    counts = jnp.sum(onehot, axis=0)
+    pi = jax.random.dirichlet(k1, alpha0 + counts)
+
+    edges = onehot.T @ A @ onehot  # (K, K) edge counts between blocks
+    pairs = jnp.outer(counts, counts)
+    Bm = jax.random.beta(k2, b0 + edges, b1 + (pairs - edges))
+    Bm = jnp.clip(Bm, 1e-6, 1.0 - 1e-6)
+    return {**params, "pi": pi, "Bm": Bm}
+
+
+def update_er_rho(key, pop, params):
+    """Conjugate Beta update of the Erdős–Rényi density (when inferred)."""
+    if pop.graph.name != "erdos_renyi" or "rho" not in params:
+        return params
+    spec = pop.spec["network"]["graph"]
+    a0, b0 = [float(v) for v in spec.get("rho_prior", (1.0, 1.0))]
+    A = params["A"]
+    n_edges = jnp.sum(A)
+    n_total = A.size
+    rho = jax.random.beta(key, a0 + n_edges, b0 + (n_total - n_edges))
+    return {**params, "rho": jnp.clip(rho, 1e-6, 1.0 - 1e-6)}

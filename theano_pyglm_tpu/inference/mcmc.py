@@ -1,0 +1,224 @@
+"""MCMC driver — the update-sweep loop (≅ ``gibbs_sample`` in the reference).
+
+Rebuild of ``pyglm/inference/gibbs.py``'s outer loop (SURVEY.md §3.3): each
+iteration interleaves
+  1. HMC over the continuous GLM block (bias, stimulus, impulse weights, W),
+  2. HMC over continuous graph latents (locations, for the distance model),
+  3. prior refresh of disconnected weights (exact conditional),
+  4. the row-parallel collapsed-Gibbs sweep over the adjacency matrix,
+  5. discrete Gibbs over SBM types + conjugate Beta/Dirichlet hyper updates
+     (or the conjugate Erdős–Rényi density update).
+
+Where the reference's loop is a Python ``for`` over compiled Theano thunks
+with periodic pickle dumps, here the whole sweep is ONE jitted function and
+iterations run device-side in ``lax.scan`` chunks; thinned samples stream
+back to host numpy per chunk (bounded HBM), and step sizes adapt during
+warmup only (Robbins–Monro, shared compiled path via a traced ``adapt`` flag).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from theano_pyglm_tpu.inference.gibbs import (
+    refresh_disconnected_weights,
+    update_adjacency,
+    update_er_rho,
+    update_sbm_hypers,
+    update_sbm_types,
+)
+from theano_pyglm_tpu.inference.hmc import HMCState, hmc_adaptive_step
+
+__all__ = ["make_sweep", "gibbs_sample", "init_mcmc_state"]
+
+_GLM_KEYS = ("bias", "w_stim", "w_stim_s", "w_stim_t", "w_ir", "W")
+_LATENT_KEYS = ("locs",)
+
+
+def _partition(params, keys):
+    inblock = {k: v for k, v in params.items() if k in keys}
+    rest = {k: v for k, v in params.items() if k not in keys}
+    return inblock, rest
+
+
+def _fresh_block_state(prev: HMCState, position, log_prob) -> HMCState:
+    """Reuse step-size adaptation stats, re-anchor position/log-prob (the
+    frozen complement changed since the last sweep, so cached log_p is stale).
+    """
+    return HMCState(
+        position=position,
+        log_prob=log_prob,
+        step_size=prev.step_size,
+        log_eps_avg=prev.log_eps_avg,
+        h_avg=prev.h_avg,
+        t=prev.t,
+        accept_rate=prev.accept_rate,
+    )
+
+
+def init_mcmc_state(pop, params, step_size: float = 0.02) -> dict:
+    """Build the MCMC carry: params + one HMCState per continuous block."""
+    eps = jnp.asarray(step_size, jnp.float32)
+    dummy = HMCState(
+        position={},
+        log_prob=jnp.asarray(0.0),
+        step_size=eps,
+        log_eps_avg=jnp.log(eps),
+        h_avg=jnp.asarray(0.0),
+        t=jnp.asarray(0.0),
+        accept_rate=jnp.asarray(1.0),
+    )
+    state = {"params": params, "glm": dummy}
+    if any(k in params for k in _LATENT_KEYS):
+        state["latent"] = dummy
+    return state
+
+
+def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
+    """Build the jitted one-iteration Gibbs sweep (see module docstring).
+
+    Returns ``sweep(key, state, adapt) -> state`` with ``adapt`` a traced
+    bool enabling step-size adaptation (warmup).
+    """
+    has_latent_block = len(pop.graph.continuous_keys) > 0
+
+    def sweep(key, state, adapt):
+        params = state["params"]
+        k_glm, k_lat, k_w, k_a, k_y, k_hyp = jax.random.split(key, 6)
+
+        # 1. HMC on the continuous GLM block
+        opt, frozen = _partition(params, _GLM_KEYS)
+
+        def logp_glm(o):
+            return pop.log_joint({**frozen, **o}, data)
+
+        h_glm = _fresh_block_state(state["glm"], opt, logp_glm(opt))
+        h_glm = hmc_adaptive_step(
+            k_glm, logp_glm, h_glm, n_steps=n_leapfrog,
+            target_accept=target_accept, adapt=adapt,
+        )
+        params = {**frozen, **h_glm.position}
+        new_state = {"params": params, "glm": h_glm}
+
+        # 2. HMC on continuous graph latents (e.g. locations)
+        if has_latent_block:
+            opt, frozen = _partition(params, _LATENT_KEYS)
+
+            def logp_lat(o):
+                # Likelihood doesn't touch the latents; the graph prior does.
+                return pop.graph.log_prior({**frozen, **o})
+
+            h_lat = _fresh_block_state(state["latent"], opt, logp_lat(opt))
+            h_lat = hmc_adaptive_step(
+                k_lat, logp_lat, h_lat, n_steps=n_leapfrog,
+                target_accept=target_accept, adapt=adapt,
+            )
+            params = {**frozen, **h_lat.position}
+            new_state["latent"] = h_lat
+
+        # 3–5. discrete machinery
+        params = refresh_disconnected_weights(k_w, pop, params)
+        params = update_adjacency(k_a, pop, params, data)
+        params = update_sbm_types(k_y, pop, params)
+        params = update_sbm_hypers(k_hyp, pop, params)
+        params = update_er_rho(k_hyp, pop, params)
+
+        new_state["params"] = params
+        return new_state
+
+    return sweep
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _run_chunk(sweep, n_iters, key, state, adapt, collect_every):
+    """Run ``n_iters`` sweeps under lax.scan, collecting thinned params."""
+
+    def body(carry, k):
+        state, it = carry
+        state = sweep(k, state, adapt)
+        return (state, it + 1), None
+
+    def body_collect(carry, k):
+        state, it = carry
+        state = sweep(k, state, adapt)
+        return (state, it + 1), state["params"]
+
+    keys = jax.random.split(key, n_iters)
+    if collect_every == 0:
+        (state, _), _ = jax.lax.scan(body, (state, jnp.asarray(0)), keys)
+        return state, None
+    (state, _), samples = jax.lax.scan(body_collect, (state, jnp.asarray(0)), keys)
+    return state, samples
+
+
+def gibbs_sample(
+    pop,
+    data,
+    key,
+    n_samples: int = 1000,
+    n_warmup: Optional[int] = None,
+    init_params: Optional[dict] = None,
+    thin: int = 1,
+    n_leapfrog: int = 10,
+    chunk_size: int = 100,
+    step_size: float = 0.02,
+    target_accept: float = 0.9,
+    callback=None,
+):
+    """Full Bayesian inference (≅ ``gibbs_sample(population, data, N)``).
+
+    Runs ``n_warmup`` adaptation sweeps then ``n_samples·thin`` sampling
+    sweeps in device-side chunks of ``chunk_size``; every ``thin``-th params
+    pytree streams to host. Returns (samples, diagnostics, final_state) where
+    ``samples`` is a dict of numpy arrays with leading axis n_samples.
+    """
+    if n_warmup is None:
+        n_warmup = max(100, n_samples // 5)
+    if init_params is None:
+        init_params = pop.sample(key)
+
+    sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept)
+    state = init_mcmc_state(pop, init_params, step_size=step_size)
+
+    k_warm, k_samp = jax.random.split(key)
+
+    # --- warmup (no collection)
+    it = 0
+    while it < n_warmup:
+        n = min(chunk_size, n_warmup - it)
+        k_warm, k = jax.random.split(k_warm)
+        state, _ = _run_chunk(sweep, n, k, state, jnp.asarray(True), 0)
+        it += n
+        if callback is not None:
+            callback("warmup", it, state)
+
+    # --- sampling
+    host_chunks = []
+    total = n_samples * thin
+    it = 0
+    while it < total:
+        n = min(chunk_size, total - it)
+        k_samp, k = jax.random.split(k_samp)
+        state, samples = _run_chunk(sweep, n, k, state, jnp.asarray(False), 1)
+        samples = jax.tree.map(np.asarray, samples)
+        if thin > 1:
+            samples = jax.tree.map(lambda x: x[thin - 1 :: thin], samples)
+        host_chunks.append(samples)
+        it += n
+        if callback is not None:
+            callback("sample", it, state)
+
+    samples = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *host_chunks)
+    diagnostics = {
+        "accept_rate_glm": float(state["glm"].accept_rate),
+        "step_size_glm": float(state["glm"].step_size),
+    }
+    if "latent" in state:
+        diagnostics["accept_rate_latent"] = float(state["latent"].accept_rate)
+        diagnostics["step_size_latent"] = float(state["latent"].step_size)
+    return samples, diagnostics, state
