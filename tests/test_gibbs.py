@@ -1,0 +1,139 @@
+"""Exactness tests for the discrete Gibbs machinery.
+
+Strategy (SURVEY.md §4 "statistical tests"): on models tiny enough to
+*enumerate*, the empirical distribution of a long Gibbs chain must match the
+exact conditional distribution computed by brute force.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theano_pyglm_tpu import Population, make_model
+from theano_pyglm_tpu.inference.gibbs import (
+    update_adjacency,
+    update_er_rho,
+    update_sbm_hypers,
+    update_sbm_types,
+)
+
+
+def _tv(p, q):
+    return 0.5 * np.abs(p - q).sum()
+
+
+def test_adjacency_sweep_targets_exact_conditional():
+    """Empirical law of A under repeated collapsed-Gibbs sweeps vs brute-force
+    enumeration of all 2^(N²) adjacency configurations."""
+    spec = make_model("sparse_weighted_model", 2, bkgd={"type": "none"})
+    spec["network"]["graph"]["rho"] = 0.3
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    T = 150
+    S, _ = pop.simulate(jax.random.PRNGKey(1), params, T)
+    data = pop.prepare_data(S)
+
+    # exact: enumerate 16 configs
+    configs = list(itertools.product([0.0, 1.0], repeat=4))
+    logw = []
+    for c in configs:
+        A = jnp.asarray(np.array(c).reshape(2, 2))
+        p = {**params, "A": A}
+        ll = float(pop.log_likelihood(p, data))
+        rho = 0.3
+        lp = float(np.sum(np.where(np.array(c) > 0, np.log(rho), np.log(1 - rho))))
+        logw.append(ll + lp)
+    logw = np.array(logw)
+    exact = np.exp(logw - logw.max())
+    exact /= exact.sum()
+
+    # chain of sweeps
+    @jax.jit
+    def step(carry, k):
+        p = update_adjacency(k, pop, carry, data)
+        return p, p["A"]
+
+    n = 6000
+    _, As = jax.lax.scan(step, params, jax.random.split(jax.random.PRNGKey(2), n))
+    As = np.asarray(As).reshape(n, 4)[1000:]  # burn-in
+    idx = (As * np.array([8, 4, 2, 1])).sum(axis=1).astype(int)
+    # config order: product(...) big-endian over (A00,A01,A10,A11)
+    emp = np.bincount(idx, minlength=16).astype(float)
+    emp /= emp.sum()
+    assert _tv(emp, exact) < 0.08, (emp, exact)
+
+
+def test_sbm_type_gibbs_targets_exact_conditional():
+    spec = make_model("sbm_weighted_model", 3, bkgd={"type": "none"})
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    K = 2
+    params["pi"] = jnp.array([0.6, 0.4])
+    params["Bm"] = jnp.array([[0.8, 0.2], [0.3, 0.6]])
+
+    A = np.asarray(params["A"])
+    pi = np.asarray(params["pi"])
+    Bm = np.asarray(params["Bm"])
+
+    # exact enumeration over y ∈ {0,1}^3  (y conditional depends on A, π, B only)
+    configs = list(itertools.product(range(K), repeat=3))
+    logw = []
+    for y in configs:
+        y = np.array(y)
+        P = Bm[y[:, None], y[None, :]]
+        lw = np.log(pi[y]).sum() + (A * np.log(P) + (1 - A) * np.log(1 - P)).sum()
+        logw.append(lw)
+    logw = np.array(logw)
+    exact = np.exp(logw - logw.max())
+    exact /= exact.sum()
+
+    @jax.jit
+    def step(carry, k):
+        p = update_sbm_types(k, pop, carry)
+        return p, p["y"]
+
+    n = 8000
+    _, ys = jax.lax.scan(step, params, jax.random.split(jax.random.PRNGKey(3), n))
+    ys = np.asarray(ys)[2000:]
+    idx = ys[:, 0] * 4 + ys[:, 1] * 2 + ys[:, 2]
+    emp = np.bincount(idx, minlength=8).astype(float)
+    emp /= emp.sum()
+    assert _tv(emp, exact) < 0.05, (emp, exact)
+
+
+def test_er_rho_conjugate_posterior():
+    spec = make_model("sparse_weighted_model", 4, bkgd={"type": "none"})
+    spec["network"]["graph"].update({"infer_rho": True, "rho_prior": (2.0, 3.0)})
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    A = np.asarray(params["A"])
+    e, tot = A.sum(), A.size
+    a_post, b_post = 2.0 + e, 3.0 + tot - e
+    keys = jax.random.split(jax.random.PRNGKey(1), 4000)
+    rhos = np.array([float(update_er_rho(k, pop, params)["rho"]) for k in keys[:500]])
+    want_mean = a_post / (a_post + b_post)
+    assert abs(rhos.mean() - want_mean) < 0.02
+
+
+def test_sbm_hyper_conjugate_posterior():
+    spec = make_model("sbm_weighted_model", 4, bkgd={"type": "none"})
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    A = np.asarray(params["A"])
+    y = np.asarray(params["y"])
+    K = 2
+    onehot = np.eye(K)[y]
+    edges = onehot.T @ A @ onehot
+    pairs = np.outer(onehot.sum(0), onehot.sum(0))
+    keys = jax.random.split(jax.random.PRNGKey(1), 500)
+    Bs = np.stack([np.asarray(update_sbm_hypers(k, pop, params)["Bm"]) for k in keys])
+    want = (1.0 + edges) / (2.0 + pairs)  # Beta(1+e, 1+pairs-e) mean
+    np.testing.assert_allclose(Bs.mean(axis=0), want, atol=0.06)
+
+    pis = np.stack([np.asarray(update_sbm_hypers(k, pop, params)["pi"]) for k in keys])
+    counts = onehot.sum(0)
+    want_pi = (1.0 + counts) / (2.0 + counts.sum())
+    np.testing.assert_allclose(pis.mean(axis=0), want_pi, atol=0.06)

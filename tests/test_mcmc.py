@@ -1,0 +1,64 @@
+"""End-to-end MCMC driver smoke + sanity tests (acceptance configs 3–5,
+miniaturized for CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from theano_pyglm_tpu import Population, make_model
+from theano_pyglm_tpu.inference import gibbs_sample
+
+
+def _run(name, N, T=300, n=25, **spec_over):
+    spec = make_model(name, N, bkgd={"type": "none"}, **spec_over)
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, T)
+    data = pop.prepare_data(S)
+    samples, diag, state = gibbs_sample(
+        pop, data, jax.random.PRNGKey(2), n_samples=n, n_warmup=n, chunk_size=25
+    )
+    return pop, samples, diag
+
+
+def test_mcmc_er_model():
+    pop, samples, diag = _run("sparse_weighted_model", 3)
+    assert samples["W"].shape == (25, 3, 3)
+    assert set(np.unique(samples["A"])) <= {0.0, 1.0}
+    assert np.all(np.isfinite(samples["W"]))
+    assert 0.05 < diag["accept_rate_glm"] <= 1.0
+
+
+def test_mcmc_sbm_model():
+    pop, samples, diag = _run("sbm_weighted_model", 4)
+    assert samples["y"].shape == (25, 4)
+    assert samples["y"].dtype.kind == "i"
+    assert samples["Bm"].shape == (25, 2, 2)
+    assert np.all((samples["Bm"] > 0) & (samples["Bm"] < 1))
+    assert np.all((samples["pi"] > 0) & (samples["pi"] < 1))
+
+
+def test_mcmc_distance_model():
+    pop, samples, diag = _run("distance_weighted_model", 3)
+    assert samples["locs"].shape == (25, 3, 2)
+    assert np.all(np.isfinite(samples["locs"]))
+    assert "accept_rate_latent" in diag
+    # locations actually move (HMC on latents is alive)
+    assert samples["locs"].std(axis=0).max() > 1e-4
+
+
+def test_mcmc_complete_graph_no_A_update():
+    pop, samples, diag = _run("standard_glm", 2)
+    np.testing.assert_allclose(samples["A"], 1.0)
+
+
+def test_mcmc_thinning():
+    spec = make_model("sparse_weighted_model", 2, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 200)
+    data = pop.prepare_data(S)
+    samples, _, _ = gibbs_sample(
+        pop, data, jax.random.PRNGKey(2), n_samples=10, n_warmup=10, thin=3, chunk_size=30
+    )
+    assert samples["W"].shape[0] == 10

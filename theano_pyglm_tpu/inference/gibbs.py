@@ -31,6 +31,7 @@ import jax.numpy as jnp
 __all__ = [
     "compute_psi",
     "update_adjacency",
+    "update_adjacency_collapsed",
     "refresh_disconnected_weights",
     "update_sbm_types",
     "update_sbm_hypers",
@@ -102,6 +103,141 @@ def update_adjacency(key, pop, params, data):
         logit_prior,
     )
     return {**params, "A": A_new}
+
+
+def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
+    """Joint (A[n,m], W[n,m]) birth–death update — the mixing-correct
+    counterpart of the reference's *collapsed* adjacency Gibbs (SURVEY.md §2
+    "MCMC: Gibbs loop": "for Gaussian weights the W can be marginalized").
+
+    Plain single-site Gibbs on A with stored slab weights mixes pathologically:
+    an edge that switches off has its weight refreshed from the prior, and the
+    later birth proposal is evaluated at that random weight, so good edges die
+    and cannot be reborn. The fix is to update the *pair* per entry with an
+    independence Metropolis–Hastings move whose proposal approximates the
+    collapsed conditional:
+
+      1. Laplace-fit g(W) = ΔLL(W) + log N(W | μ, σ) by Newton on the 1-D
+         weight (autodiff gradients, so any nonlinearity/observation works);
+      2. estimate the edge's marginal evidence Ẑ₁ = ∫e^g ≈ e^{g(W*)}·√(2π)·s,
+         giving the collapsed birth probability
+         p̂ = ρẐ₁ / (ρẐ₁ + (1−ρ));
+      3. propose A' ~ Bern(p̂); W' ~ N(W*, s²) if A'=1 else W' ~ N(μ, σ²);
+      4. MH-accept the pair (exactness does not rely on the Laplace
+         approximation — only proposal quality does).
+
+    Entries within a row update sequentially (scan, carrying the row current);
+    rows update in parallel (vmap) exactly as in :func:`update_adjacency`.
+    """
+    if pop.graph.fixed_A:
+        return params
+    if not pop.weights.has_W:
+        return update_adjacency(key, pop, params, data)
+
+    S, dt, nlin, obs = data["S"], pop.dt, pop.nlin, pop.observation
+    N = pop.N
+    psi = compute_psi(pop, params, data)  # (T, N, N)
+    I_rest = rest_current(pop, params, data)
+    MU, SIG = pop.weights.prior_mu_sigma()
+    P = pop.graph.edge_prob(params)
+    logit_prior = jnp.log(jnp.clip(P, 1e-12, 1.0)) - jnp.log(jnp.clip(1.0 - P, 1e-12, 1.0))
+    _LOG2PI = 1.8378770664093453
+
+    def row_update(key_n, A_n, W_n, psi_n, S_n, I_rest_n, mu_n, sig_n, logit_n):
+        I_n = I_rest_n + psi_n @ (A_n * W_n)
+        keys = jax.random.split(key_n, N)
+
+        def entry(carry, inp):
+            I_n, A_n, W_n = carry
+            m, k = inp
+            k_a, k_w, k_u = jax.random.split(k, 3)
+            psi_m = psi_n[:, m]
+            I_wo = I_n - A_n[m] * W_n[m] * psi_m
+            mu, sig = mu_n[m], sig_n[m]
+
+            def dll(w):
+                # ΔLL(w): likelihood gain of the edge at weight w.
+                return jnp.sum(
+                    obs.log_likelihood(S_n, I_wo + w * psi_m, nlin, dt)
+                    - obs.log_likelihood(S_n, I_wo, nlin, dt)
+                )
+
+            def g(w):
+                z = (w - mu) / sig
+                return dll(w) - 0.5 * (z * z + _LOG2PI) - jnp.log(sig)
+
+            g_grad = jax.grad(g)
+            g_hess = jax.grad(g_grad)
+
+            # Newton from the current weight (connected) or the prior mean.
+            w0 = jnp.where(A_n[m] > 0, W_n[m], mu)
+
+            def newton(w, _):
+                h = jnp.minimum(g_hess(w), -0.1 / (sig * sig))
+                w = w - g_grad(w) / h
+                return w, None
+
+            w_star, _ = jax.lax.scan(newton, w0, None, length=n_newton)
+            h_star = jnp.minimum(g_hess(w_star), -0.1 / (sig * sig))
+            s = jnp.sqrt(-1.0 / h_star)
+
+            # Laplace evidence of the edge (A=0 evidence is exactly 1).
+            log_z1 = g(w_star) + 0.5 * (_LOG2PI) + jnp.log(s)
+            logit_birth = jnp.clip(logit_n[m] + log_z1, -30.0, 30.0)
+            p_birth = jax.nn.sigmoid(logit_birth)
+
+            a_prop = jax.random.bernoulli(k_a, p_birth).astype(A_n.dtype)
+            w_prop = jnp.where(
+                a_prop > 0,
+                w_star + s * jax.random.normal(k_w),
+                mu + sig * jax.random.normal(k_w),
+            )
+
+            def log_target(a, w):
+                zp = (w - mu) / sig
+                lp = -0.5 * (zp * zp + _LOG2PI) - jnp.log(sig)
+                return lp + a * (dll(w) + logit_n[m])
+
+            def log_proposal(a, w):
+                zq = (w - w_star) / s
+                lq1 = -0.5 * (zq * zq + _LOG2PI) - jnp.log(s)
+                zp = (w - mu) / sig
+                lq0 = -0.5 * (zp * zp + _LOG2PI) - jnp.log(sig)
+                return jnp.where(
+                    a > 0, jnp.log(p_birth) + lq1, jnp.log1p(-p_birth) + lq0
+                )
+
+            log_alpha = (
+                log_target(a_prop, w_prop)
+                - log_proposal(a_prop, w_prop)
+                - log_target(A_n[m], W_n[m])
+                + log_proposal(A_n[m], W_n[m])
+            )
+            accept = jnp.log(jax.random.uniform(k_u)) < log_alpha
+            a_new = jnp.where(accept, a_prop, A_n[m])
+            w_new = jnp.where(accept, w_prop, W_n[m])
+
+            I_n = I_wo + a_new * w_new * psi_m
+            return (I_n, A_n.at[m].set(a_new), W_n.at[m].set(w_new)), accept
+
+        (I_n, A_n, W_n), accepts = jax.lax.scan(
+            entry, (I_n, A_n, W_n), (jnp.arange(N), keys)
+        )
+        return A_n, W_n, jnp.mean(accepts.astype(jnp.float32))
+
+    keys = jax.random.split(key, N)
+    A_new, W_new, acc = jax.vmap(row_update)(
+        keys,
+        params["A"],
+        params["W"],
+        jnp.moveaxis(psi, 1, 0),  # (N_post, T, N_pre)
+        S.T,
+        I_rest.T,
+        MU,
+        SIG,
+        logit_prior,
+    )
+    return {**params, "A": A_new, "W": W_new}
 
 
 def refresh_disconnected_weights(key, pop, params):

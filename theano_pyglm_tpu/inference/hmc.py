@@ -17,6 +17,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from theano_pyglm_tpu.utils.dtypes import default_float
+
 __all__ = ["HMCState", "hmc_init", "hmc", "hmc_adaptive_step"]
 
 
@@ -26,24 +28,27 @@ class HMCState(NamedTuple):
     position: dict
     log_prob: jax.Array
     step_size: jax.Array
-    # dual-averaging state
-    log_eps_avg: jax.Array
-    h_avg: jax.Array
+    # dual-averaging state (Hoffman & Gelman 2014 §3.2)
+    log_eps_avg: jax.Array  # iterate-averaged log ε (used once adaptation stops)
+    h_avg: jax.Array  # running average of (target − accept)
     t: jax.Array
     accept_rate: jax.Array
+    mu: jax.Array = None  # dual-averaging shrinkage point log(10·ε₀)
 
 
 def hmc_init(position, logp_fn: Callable, step_size: float = 0.01) -> HMCState:
     lp = logp_fn(position)
-    eps = jnp.asarray(step_size, jnp.float32)
+    f = default_float()
+    eps = jnp.asarray(step_size, f)
     return HMCState(
         position=position,
-        log_prob=lp,
+        log_prob=lp.astype(f),
         step_size=eps,
         log_eps_avg=jnp.log(eps),
-        h_avg=jnp.asarray(0.0),
-        t=jnp.asarray(0.0),
-        accept_rate=jnp.asarray(1.0),
+        h_avg=jnp.asarray(0.0, f),
+        t=jnp.asarray(0.0, f),
+        accept_rate=jnp.asarray(1.0, f),
+        mu=jnp.log(10.0 * eps),
     )
 
 
@@ -120,32 +125,36 @@ def hmc_adaptive_step(
     n_steps: int = 10,
     target_accept: float = 0.9,
     adapt: bool | jax.Array = True,
-    adapt_rate: float = 0.15,
-    kappa: float = 0.6,
+    gamma: float = 0.05,
+    t0: float = 10.0,
+    kappa: float = 0.75,
 ):
-    """HMC transition + Robbins–Monro step-size adaptation.
+    """HMC transition + dual-averaging step-size adaptation.
 
-    Matches the reference's behavior of adapting ε toward a high target accept
-    rate (~0.9, SURVEY.md §2 [M]) with a stochastic-approximation update
+    Nesterov dual averaging exactly as in Hoffman & Gelman (2014) §3.2,
+    targeting the reference's high accept rate (~0.9, SURVEY.md §2 [M]):
 
-        log ε ← log ε + (adapt_rate / t^κ)·(accept − target)
+        H̄_t   = (1 − 1/(t+t₀))·H̄_{t−1} + (target − accept)/(t+t₀)
+        log ε_t = μ − √t/γ · H̄_t,     μ = log(10·ε₀)
+        log ε̄_t = t^{−κ}·log ε_t + (1 − t^{−κ})·log ε̄_{t−1}
 
-    whose decaying gain guarantees convergence; ``log_eps_avg`` carries the
-    iterate-averaged log ε used as the fixed step size once ``adapt`` turns
-    off (a traced bool, so warmup and sampling share one compiled step).
+    ``adapt`` may be a traced bool so warmup and sampling share one compiled
+    step; once it is False the iterate-averaged ε̄ is used and frozen.
     """
     q, lp, acc = hmc(key, logp_fn, state.position, state.log_prob, state.step_size, n_steps)
 
     t = state.t + 1.0
-    eta = adapt_rate / t**kappa
-    log_eps = jnp.log(state.step_size) + eta * (acc - target_accept)
-    eta_avg = 1.0 / t
-    log_eps_avg = (1.0 - eta_avg) * state.log_eps_avg + eta_avg * log_eps
+    w = 1.0 / (t + t0)
+    h_avg = (1.0 - w) * state.h_avg + w * (target_accept - acc)
+    log_eps = state.mu - jnp.sqrt(t) / gamma * h_avg
+    eta = t ** (-kappa)
+    log_eps_avg = eta * log_eps + (1.0 - eta) * state.log_eps_avg
 
     adapt = jnp.asarray(adapt)
     new_eps = jnp.where(adapt, jnp.exp(log_eps), jnp.exp(state.log_eps_avg))
     new_avg = jnp.where(adapt, log_eps_avg, state.log_eps_avg)
+    new_h = jnp.where(adapt, h_avg, state.h_avg)
     new_t = jnp.where(adapt, t, state.t)
 
     rate = 0.99 * state.accept_rate + 0.01 * acc
-    return HMCState(q, lp, new_eps, new_avg, state.h_avg, new_t, rate)
+    return HMCState(q, lp, new_eps, new_avg, new_h, new_t, rate, state.mu)

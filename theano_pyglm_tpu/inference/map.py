@@ -112,7 +112,8 @@ def sparse_map_fit(pop, data, init_params, lam: float, max_iter: int = 500, l1_e
     smoothed (√(w²+ε²)) so the same L-BFGS path applies; with ε=1e-6 the
     minimizer's support is recovered by thresholding |W| at ~√ε.
     """
-    lam = jnp.asarray(lam, jnp.float32)
+    from theano_pyglm_tpu.utils.dtypes import default_float as _df
+    lam = jnp.asarray(lam, _df())
     params, logp, iters = _map_fit_jit(pop, init_params, data, max_iter, lam, l1_eps, True)
     return params, logp, iters
 

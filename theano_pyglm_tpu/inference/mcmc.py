@@ -28,11 +28,13 @@ import numpy as np
 from theano_pyglm_tpu.inference.gibbs import (
     refresh_disconnected_weights,
     update_adjacency,
+    update_adjacency_collapsed,
     update_er_rho,
     update_sbm_hypers,
     update_sbm_types,
 )
 from theano_pyglm_tpu.inference.hmc import HMCState, hmc_adaptive_step
+from theano_pyglm_tpu.utils.dtypes import default_float
 
 __all__ = ["make_sweep", "gibbs_sample", "init_mcmc_state"]
 
@@ -58,24 +60,38 @@ def _fresh_block_state(prev: HMCState, position, log_prob) -> HMCState:
         h_avg=prev.h_avg,
         t=prev.t,
         accept_rate=prev.accept_rate,
+        mu=prev.mu,
     )
 
 
 def init_mcmc_state(pop, params, step_size: float = 0.02) -> dict:
-    """Build the MCMC carry: params + one HMCState per continuous block."""
-    eps = jnp.asarray(step_size, jnp.float32)
-    dummy = HMCState(
-        position={},
-        log_prob=jnp.asarray(0.0),
-        step_size=eps,
-        log_eps_avg=jnp.log(eps),
-        h_avg=jnp.asarray(0.0),
-        t=jnp.asarray(0.0),
-        accept_rate=jnp.asarray(1.0),
-    )
-    state = {"params": params, "glm": dummy}
-    if any(k in params for k in _LATENT_KEYS):
-        state["latent"] = dummy
+    """Build the MCMC carry: params + one HMCState per continuous block.
+
+    Positions are seeded with the matching parameter partition so the carry
+    pytree structure is already what the sweep produces (scan-stable); the
+    cached log_prob is a placeholder — the sweep re-anchors it every
+    iteration anyway.
+    """
+    f = default_float()
+    eps = jnp.asarray(step_size, f)
+
+    def block(position):
+        return HMCState(
+            position=position,
+            log_prob=jnp.asarray(0.0, f),
+            step_size=eps,
+            log_eps_avg=jnp.log(eps),
+            h_avg=jnp.asarray(0.0, f),
+            t=jnp.asarray(0.0, f),
+            accept_rate=jnp.asarray(1.0, f),
+            mu=jnp.log(10.0 * eps),
+        )
+
+    glm_pos, _ = _partition(params, _GLM_KEYS)
+    state = {"params": params, "glm": block(glm_pos)}
+    lat_pos, _ = _partition(params, _LATENT_KEYS)
+    if lat_pos:
+        state["latent"] = block(lat_pos)
     return state
 
 
@@ -123,7 +139,7 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
 
         # 3–5. discrete machinery
         params = refresh_disconnected_weights(k_w, pop, params)
-        params = update_adjacency(k_a, pop, params, data)
+        params = update_adjacency_collapsed(k_a, pop, params, data)
         params = update_sbm_types(k_y, pop, params)
         params = update_sbm_hypers(k_hyp, pop, params)
         params = update_er_rho(k_hyp, pop, params)

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from theano_pyglm_tpu.ops.distributions import gaussian_logpdf, poisson_logpmf
+from theano_pyglm_tpu.utils.dtypes import default_float
 
 __all__ = [
     "CurrentComponent",
@@ -164,7 +165,11 @@ def make_impulse(spec: dict, N: int, B_imp: int) -> CurrentComponent:
                   normal prior on the logits (spec choice, see module doc).
     """
     typ = spec.get("type", "basis")
-    mu, sigma = float(spec.get("mu", 0.0)), float(spec.get("sigma", 1.0))
+    # mu may be scalar or per-basis-column (length-B list) — a per-column
+    # mean biases normalized filters toward particular lags (e.g. fast,
+    # early-peaked synaptic filters).
+    mu = jnp.asarray(spec.get("mu", 0.0))
+    sigma = jnp.asarray(spec.get("sigma", 1.0))
 
     def sample(key):
         return {"w_ir": mu + sigma * jax.random.normal(key, (N, N, B_imp))}
@@ -256,7 +261,7 @@ def make_observation(spec: dict) -> Observation:
             return S * (log_rate + jnp.log(dt)) - rate * dt - jax.scipy.special.gammaln(S + 1.0)
 
         def sample(key, rate, dt):
-            return jax.random.poisson(key, rate * dt).astype(jnp.float32)
+            return jax.random.poisson(key, rate * dt).astype(default_float())
 
         return Observation("poisson", ll, sample)
 
@@ -270,7 +275,7 @@ def make_observation(spec: dict) -> Observation:
 
         def sample(key, rate, dt):
             p = -jnp.expm1(-rate * dt)
-            return jax.random.bernoulli(key, p).astype(jnp.float32)
+            return jax.random.bernoulli(key, p).astype(default_float())
 
         return Observation("bernoulli", ll, sample)
 

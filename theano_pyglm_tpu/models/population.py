@@ -44,6 +44,7 @@ from theano_pyglm_tpu.models.components import (
 from theano_pyglm_tpu.models.network import make_graph, make_weights
 from theano_pyglm_tpu.ops.basis import create_basis
 from theano_pyglm_tpu.ops.convolve import convolve_with_basis, upsample_stim
+from theano_pyglm_tpu.utils.dtypes import default_float
 
 __all__ = ["Population"]
 
@@ -68,7 +69,7 @@ class Population:
         imp_basis_spec = dict(imp_spec.get("basis", {"type": "cosine", "n_bas": 5}))
         imp_basis_spec.setdefault("dt", self.dt)
         imp_basis_spec.setdefault("dt_max", imp_spec.get("dt_max", 0.1))
-        self.basis_imp = np.asarray(create_basis(imp_basis_spec), dtype=np.float32)
+        self.basis_imp = np.asarray(create_basis(imp_basis_spec))
         self.B_imp = self.basis_imp.shape[1]
         self.L_imp = self.basis_imp.shape[0]
 
@@ -78,7 +79,7 @@ class Population:
             stim_basis_spec = dict(bkgd_spec.get("basis", {"type": "cosine", "n_bas": 5}))
             stim_basis_spec.setdefault("dt", self.dt)
             stim_basis_spec.setdefault("dt_max", bkgd_spec.get("dt_max", 0.3))
-            self.basis_stim = np.asarray(create_basis(stim_basis_spec), dtype=np.float32)
+            self.basis_stim = np.asarray(create_basis(stim_basis_spec))
             self.B_stim = self.basis_stim.shape[1]
         else:
             self.basis_stim = None
@@ -132,13 +133,13 @@ class Population:
           data dict with 'S' (T,N), 'X_imp' (T,N,B_imp) and, if the model has
           a stimulus component, 'X_stim' (T, D·B_stim) or 'X_st' (T,D,B_stim).
         """
-        S = jnp.asarray(S, jnp.float32)
+        S = jnp.asarray(S, default_float())
         T = S.shape[0]
         data = {"S": S, "X_imp": convolve_with_basis(S, jnp.asarray(self.basis_imp))}
         if self.basis_stim is not None:
             if stim is None:
                 raise ValueError("model has a stimulus component but no stim given")
-            stim = jnp.asarray(stim, jnp.float32)
+            stim = jnp.asarray(stim, default_float())
             if stim.ndim == 1:
                 stim = stim[:, None]
             if stim_dt is not None and stim_dt != self.dt:
@@ -226,7 +227,7 @@ class Population:
         if self.basis_stim is not None:
             if stim is None:
                 raise ValueError("model has a stimulus component but no stim given")
-            stim = jnp.asarray(stim, jnp.float32)
+            stim = jnp.asarray(stim, default_float())
             if stim.ndim == 1:
                 stim = stim[:, None]
             if stim_dt is not None and stim_dt != self.dt:

@@ -65,7 +65,12 @@ def _weighted(N, graph):
     m["impulse"] = {
         "type": "normalized",
         "dt_max": 0.1,
-        "mu": 0.0,
+        # Per-column logit means favor the early (fast) cosine bumps, so
+        # prior-drawn coupling filters are peaked like real PSPs (~5–20 ms)
+        # rather than spread over the whole 100 ms window — this is what
+        # makes synthetic networks statistically identifiable (the per-edge
+        # Fisher information scales with the filter's Σφ²).
+        "mu": [1.5, 0.5, -0.5, -1.5, -2.5],
         "sigma": 1.0,
         "basis": dict(_COSINE_IMP),
     }
@@ -75,12 +80,15 @@ def _weighted(N, graph):
         "weight": {
             "type": "gaussian",
             # W scales a unit-sum filter (normalized impulses), i.e. W is the
-            # total log-rate kick per presynaptic spike.
+            # total log-rate kick per presynaptic spike. σ=2 makes edges
+            # statistically identifiable from ~30 s of data (per-edge Fisher
+            # info ≈ rate·dt·Σφ²·W²·n_spikes) while staying subcritical
+            # (branching ≈ rate·dt·W ≈ 0.1 at 20 Hz).
             "mu": 0.0,
-            "sigma": 0.5,
+            "sigma": 2.0,
             # self-coupling (refractory) edges pushed negative by default
-            "mu_self": -1.0,
-            "sigma_self": 0.5,
+            "mu_self": -2.0,
+            "sigma_self": 1.0,
         },
     }
     return m

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from theano_pyglm_tpu.utils.dtypes import default_float
+
 __all__ = ["convolve_with_basis", "upsample_stim"]
 
 
@@ -41,7 +43,7 @@ def convolve_with_basis(x: jax.Array, basis: jax.Array) -> jax.Array:
       out[t, n, b] = Σ_l basis[l, b] · x[t-1-l, n] (zero-padded history).
     """
     x = jnp.asarray(x)
-    basis = jnp.asarray(basis, dtype=x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32)
+    basis = jnp.asarray(basis, dtype=x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else default_float())
     x = x.astype(basis.dtype)
     L, B = basis.shape
     squeeze = x.ndim == 1
