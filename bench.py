@@ -1,0 +1,121 @@
+"""Headline benchmark: Poisson loglik+grad evals/sec/chip (BASELINE.md).
+
+Runs on whatever the default JAX backend is (the driver runs it on one real
+TPU chip). The workload is the flagship N=27 RGC-scale network GLM over
+T=60,000 bins (60 s @ 1 ms, acceptance config 5's scale): one evaluation =
+the full log-joint AND its gradient w.r.t. every continuous parameter
+(bias, stimulus weights, impulse logits, coupling weights, locations) — the
+kernel inside every HMC leapfrog step (SURVEY.md §3.4).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+stand-in baseline is the same computation implemented in single-threaded
+numpy with hand-derived analytic gradients — a faithful proxy for the
+reference's Theano-generated C/BLAS thunks on one CPU core.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_problem(N=27, T=60_000, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from theano_pyglm_tpu import Population, make_model
+    from theano_pyglm_tpu.inference.map import split_params
+
+    spec = make_model("distance_weighted_model", N)
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(seed))
+    rng = np.random.RandomState(seed)
+    stim = rng.randn(T, 1).astype(np.float32)
+    # spikes need not be model-consistent for a throughput benchmark
+    S = rng.poisson(0.02, size=(T, N)).astype(np.float32)
+    data = pop.prepare_data(S, stim=stim)
+    opt, frozen = split_params(params)
+    return pop, opt, frozen, data
+
+
+def bench_tpu(pop, opt, frozen, data, n_iters=50):
+    import jax
+
+    f = jax.jit(
+        jax.value_and_grad(lambda o: pop.log_joint({**frozen, **o}, data))
+    )
+    val, grad = f(opt)  # compile
+    jax.block_until_ready((val, grad))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        val, grad = f(opt)
+    jax.block_until_ready((val, grad))
+    dt = time.perf_counter() - t0
+    return n_iters / dt, float(val)
+
+
+def bench_numpy(pop, opt, frozen, data, n_iters=3):
+    """Single-threaded numpy loglik+grad (exp-Poisson closed forms)."""
+    S = np.asarray(data["S"])
+    X_stim = np.asarray(data["X_stim"])
+    X_imp = np.asarray(data["X_imp"])
+    dt_bin = pop.dt
+    A = np.asarray(frozen["A"])
+    bias = np.asarray(opt["bias"])
+    w_stim = np.asarray(opt["w_stim"])
+    w_ir = np.asarray(opt["w_ir"])
+    W = np.asarray(opt["W"])
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        w_eff = softmax(w_ir)  # (N, N, B)
+        G = A * W
+        I = bias[None, :] + X_stim @ w_stim.T
+        I = I + np.einsum("tpb,npb,np->tn", X_imp, w_eff, G, optimize=True)
+        lam_dt = np.exp(I) * dt_bin
+        # loglik
+        ll = float((S * (I + np.log(dt_bin)) - lam_dt).sum())
+        # gradient w.r.t. I, then chain rule to each parameter
+        dI = S - lam_dt  # (T, N)
+        g_bias = dI.sum(0)
+        g_wstim = dI.T @ X_stim
+        g_G = np.einsum("tn,tpb,npb->np", dI, X_imp, w_eff, optimize=True)
+        g_W = g_G * A
+        g_weff = np.einsum("tn,tpb,np->npb", dI, X_imp, G, optimize=True)
+        g_wir = w_eff * (g_weff - (g_weff * w_eff).sum(-1, keepdims=True))
+        _ = (ll, g_bias, g_wstim, g_W, g_wir)
+    dt = time.perf_counter() - t0
+    return n_iters / dt
+
+
+def main():
+    pop, opt, frozen, data = build_problem()
+    evals_per_sec, val = bench_tpu(pop, opt, frozen, data)
+    # keep the CPU baseline on one thread to mimic the reference's setting
+    try:
+        import threadpoolctl
+
+        ctx = threadpoolctl.threadpool_limits(1)
+    except Exception:
+        ctx = None
+    numpy_evals_per_sec = bench_numpy(pop, opt, frozen, data)
+    print(
+        json.dumps(
+            {
+                "metric": "poisson_loglik_grad_evals_per_sec_per_chip_N27_T60k",
+                "value": round(evals_per_sec, 3),
+                "unit": "evals/s",
+                "vs_baseline": round(evals_per_sec / numpy_evals_per_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

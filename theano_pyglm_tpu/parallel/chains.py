@@ -1,0 +1,122 @@
+"""Multi-chain MCMC across devices (≅ reference's parallel Gibbs, SURVEY.md
+§2 "Parallel Gibbs" / "Multi-chain MCMC").
+
+Chains are a pure batch axis: the single-chain sweep from
+:mod:`theano_pyglm_tpu.inference.mcmc` is ``vmap``-ed over chains, the chain
+axis is sharded over a 1-D device mesh, and XLA runs each chain's updates on
+its own chip with zero collectives (chains are independent — the only
+cross-device traffic is the final host gather). Acceptance configs 3 and 5
+("4 parallel chains", "multi-chain across chips") run through this path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from theano_pyglm_tpu.inference.mcmc import init_mcmc_state, make_sweep
+from theano_pyglm_tpu.utils.diagnostics import summarize_chains
+
+__all__ = ["gibbs_sample_chains"]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _run_chunk_chains(vsweep, n_iters, key, states, adapt, collect):
+    n_chains = states["glm"].t.shape[0]
+
+    def body(carry, k):
+        states = vsweep(jax.random.split(k, n_chains), carry, adapt)
+        return states, (states["params"] if collect else None)
+
+    keys = jax.random.split(key, n_iters)  # (n, 2)
+    states, samples = jax.lax.scan(body, states, keys)
+    return states, samples
+
+
+def gibbs_sample_chains(
+    pop,
+    data,
+    key,
+    n_chains: int = 4,
+    n_samples: int = 1000,
+    n_warmup: Optional[int] = None,
+    init_params=None,
+    thin: int = 1,
+    n_leapfrog: int = 10,
+    chunk_size: int = 100,
+    step_size: float = 0.02,
+    target_accept: float = 0.9,
+    mesh: Optional[Mesh] = None,
+    callback=None,
+):
+    """Run ``n_chains`` independent Gibbs/HMC chains, sharded over ``mesh``.
+
+    Returns (samples, diagnostics, states): samples is a dict of numpy arrays
+    shaped (n_samples, n_chains, ...); diagnostics includes per-leaf split-R̂
+    and ESS (utils.diagnostics) plus per-chain accept rates.
+    """
+    if n_warmup is None:
+        n_warmup = max(100, n_samples // 5)
+
+    sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept)
+
+    def vsweep(keys, states, adapt):
+        if mesh is not None:
+            # per-chain keys must ride the same sharding as the chain state
+            keys = jax.lax.with_sharding_constraint(
+                keys, NamedSharding(mesh, P("chains"))
+            )
+        return jax.vmap(sweep, in_axes=(0, 0, None))(keys, states, adapt)
+
+    chain_keys = jax.random.split(key, n_chains + 2)
+    if init_params is None:
+        init_stack = jax.vmap(pop.sample)(chain_keys[:n_chains])
+    else:
+        # broadcast one init to all chains
+        init_stack = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), init_params
+        )
+    states = jax.vmap(lambda p: init_mcmc_state(pop, p, step_size=step_size))(init_stack)
+
+    if mesh is not None:
+        chain_sh = NamedSharding(mesh, P("chains"))
+        states = jax.tree.map(lambda x: jax.device_put(x, chain_sh), states)
+        data = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), data)
+
+    k_warm, k_samp = jax.random.split(chain_keys[-1])
+
+    def run_phase(k_base, total, adapt, collect):
+        nonlocal states
+        host_chunks = []
+        it = 0
+        while it < total:
+            n = min(chunk_size, total - it)
+            k_base, k = jax.random.split(k_base)
+            states, samples = _run_chunk_chains(vsweep, n, k, states, adapt, collect)
+            if collect:
+                samples = jax.tree.map(np.asarray, samples)
+                if thin > 1:
+                    samples = jax.tree.map(lambda x: x[thin - 1 :: thin], samples)
+                host_chunks.append(samples)
+            it += n
+            if callback is not None:
+                callback("sample" if collect else "warmup", it, states)
+        return host_chunks
+
+    run_phase(k_warm, n_warmup, jnp.asarray(True), False)
+    host_chunks = run_phase(k_samp, n_samples * thin, jnp.asarray(False), True)
+
+    samples = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *host_chunks)
+    diagnostics = {
+        "accept_rate_glm": np.asarray(states["glm"].accept_rate),
+        "step_size_glm": np.asarray(states["glm"].step_size),
+        "convergence": summarize_chains(samples),
+    }
+    if "latent" in states:
+        diagnostics["accept_rate_latent"] = np.asarray(states["latent"].accept_rate)
+    return samples, diagnostics, states

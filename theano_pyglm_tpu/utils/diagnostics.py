@@ -1,0 +1,95 @@
+"""MCMC convergence diagnostics: split-R̂ and effective sample size.
+
+The reference prints log-p and accept rates only (SURVEY.md §5 "Metrics");
+ESS/sec is this framework's headline benchmark metric (BASELINE.md), so the
+diagnostics are first-class here. Formulas follow Vehtari et al. 2021
+(rank-normalization omitted; plain split-R̂ and Geyer initial-monotone ESS).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["split_rhat", "ess", "summarize_chains"]
+
+
+def _to_sc(x: np.ndarray) -> np.ndarray:
+    """(n_samples, n_chains, ...) -> (n_samples, n_chains, flat_params)."""
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim == 2:
+        x = x[:, :, None]
+    return x.reshape(x.shape[0], x.shape[1], -1)
+
+
+def split_rhat(x) -> np.ndarray:
+    """Split-R̂ per parameter; x: (n_samples, n_chains, ...)."""
+    x = _to_sc(x)
+    if x.shape[0] < 4:
+        return np.full(x.shape[-1], np.nan)
+    n = x.shape[0] // 2
+    halves = np.concatenate([x[:n], x[n : 2 * n]], axis=1)  # (n, 2m, p)
+    m = halves.shape[1]
+    chain_mean = halves.mean(axis=0)  # (2m, p)
+    chain_var = halves.var(axis=0, ddof=1)
+    W = chain_var.mean(axis=0)
+    B = n * chain_mean.var(axis=0, ddof=1) if m > 1 else np.zeros_like(W)
+    var_plus = (n - 1) / n * W + B / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.sqrt(var_plus / np.where(W > 0, W, np.nan))
+
+
+def _autocov(x: np.ndarray) -> np.ndarray:
+    """FFT autocovariance per chain/param; x: (n, m, p) -> (n, m, p)."""
+    n = x.shape[0]
+    xc = x - x.mean(axis=0, keepdims=True)
+    size = 2 ** int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, size, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), size, axis=0)[:n].real
+    return acov / n
+
+
+def ess(x) -> np.ndarray:
+    """Effective sample size per parameter (Geyer initial-monotone over
+    chain-averaged autocorrelations); x: (n_samples, n_chains, ...)."""
+    x = _to_sc(x)
+    n, m, p = x.shape
+    if n < 4:
+        return np.full(p, np.nan)
+    acov = _autocov(x)  # (n, m, p)
+    chain_var = acov[0] * n / (n - 1.0)  # (m, p)
+    W = chain_var.mean(axis=0)
+    var_plus = (n - 1) / n * W + x.mean(axis=0).var(axis=0, ddof=1) if m > 1 else W
+    rho = 1.0 - (W - acov.mean(axis=1)) / np.where(var_plus > 0, var_plus, np.nan)  # (n, p)
+
+    out = np.empty(p)
+    for j in range(p):
+        r = rho[:, j]
+        # pair sums; stop at first negative, enforce monotone decrease
+        tau = 1.0
+        prev = np.inf
+        for k in range(1, (n - 1) // 2):
+            pair = r[2 * k - 1] + r[2 * k]
+            if not np.isfinite(pair) or pair < 0:
+                break
+            pair = min(pair, prev)
+            prev = pair
+            tau += 2.0 * pair
+        out[j] = m * n / tau
+    return out
+
+
+def summarize_chains(samples_dict) -> dict:
+    """Per-leaf max R̂ and min ESS for a dict of (n_samples, n_chains, ...)
+    arrays — the quick convergence table."""
+    out = {}
+    for k, v in samples_dict.items():
+        if np.asarray(v).dtype.kind not in "fc":
+            continue
+        r, e = split_rhat(v), ess(v)
+        out[k] = {
+            "max_rhat": float(np.nanmax(r)) if np.any(np.isfinite(r)) else float("nan"),
+            "min_ess": float(np.nanmin(e)) if np.any(np.isfinite(e)) else float("nan"),
+        }
+    return out
