@@ -1,0 +1,35 @@
+"""Checkpoint/resume tests: exact continuation of the sampler state."""
+
+import os
+
+import jax
+import numpy as np
+
+from theano_pyglm_tpu import Population, make_model
+from theano_pyglm_tpu.inference.mcmc import init_mcmc_state
+from theano_pyglm_tpu.utils.checkpoints import latest_step, restore_checkpoint, save_checkpoint
+
+
+def test_roundtrip_exact(tmp_path):
+    spec = make_model("sparse_weighted_model", 3, bkgd={"type": "none"})
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    state = init_mcmc_state(pop, params)
+    key = jax.random.PRNGKey(123)
+
+    d = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(d, 7, state, key)
+    assert latest_step(d) == 7
+
+    restored, key_r, step = restore_checkpoint(d, template=state)
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key_r)), np.asarray(jax.random.key_data(key))
+    )
+    for k in state["params"]:
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"][k]), np.asarray(state["params"][k])
+        )
+    np.testing.assert_allclose(
+        float(restored["glm"].step_size), float(state["glm"].step_size)
+    )

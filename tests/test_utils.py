@@ -1,0 +1,97 @@
+"""Tests for STA, smart init, IO, metrics, diagnostics."""
+
+import os
+
+import jax
+import numpy as np
+
+from theano_pyglm_tpu import Population, make_model
+from theano_pyglm_tpu.inference.smart_init import smart_initialize
+from theano_pyglm_tpu.utils.diagnostics import ess, split_rhat
+from theano_pyglm_tpu.utils.io import load_results, save_results, segment_data
+from theano_pyglm_tpu.utils.metrics import MetricsWriter
+from theano_pyglm_tpu.utils.sta import sta
+
+
+def test_sta_oracle(rng):
+    T, D, N, L = 60, 2, 3, 4
+    stim = rng.randn(T, D)
+    S = rng.poisson(0.3, (T, N)).astype(float)
+    got = np.asarray(sta(stim, S, L))
+    want = np.zeros((N, L, D))
+    for n in range(N):
+        tot = max(S[:, n].sum(), 1.0)
+        for t in range(T):
+            for l in range(L):
+                if t - 1 - l >= 0:
+                    want[n, l] += S[t, n] * stim[t - 1 - l]
+        want[n] /= tot
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_smart_init_bias_matches_rate():
+    spec = make_model("standard_glm", 3, bkgd={"type": "none"})
+    pop = Population(spec)
+    rng = np.random.RandomState(0)
+    S = rng.poisson(0.02, (5000, 3)).astype(float)  # 20 Hz
+    data = pop.prepare_data(S)
+    params = smart_initialize(pop, data)
+    emp = np.log(S.mean(axis=0) / pop.dt)
+    np.testing.assert_allclose(np.asarray(params["bias"]), emp, atol=1e-6)
+
+
+def test_smart_init_finds_strong_coupling():
+    spec = make_model("sparse_weighted_model", 4, bkgd={"type": "none"})
+    spec["bias"] = {"mu": float(np.log(30.0)), "sigma": 0.01}  # ~30 Hz
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    # one overwhelming edge 1<-0
+    A = np.zeros((4, 4)); A[1, 0] = 1
+    true["A"] = A
+    true["W"] = np.zeros((4, 4)); true["W"][1, 0] = 5.0
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 30000)
+    data = pop.prepare_data(S)
+    params = smart_initialize(pop, data)
+    W0 = np.asarray(params["W"])
+    assert W0[1, 0] == W0.max()
+    assert np.asarray(params["A"])[1, 0] == 1
+
+
+def test_io_roundtrip(tmp_path):
+    path = os.path.join(tmp_path, "r.npz")
+    results = {"a": np.arange(3.0), "nested": {"b": np.eye(2)}}
+    save_results(path, results)
+    back = load_results(path)
+    np.testing.assert_allclose(back["a"], results["a"])
+    np.testing.assert_allclose(back["nested"]["b"], np.eye(2))
+
+
+def test_segment_data():
+    S = np.arange(20).reshape(10, 2)
+    (S_tr, _), (S_va, _) = segment_data(S, train_frac=0.7)
+    assert S_tr.shape[0] == 7 and S_va.shape[0] == 3
+    np.testing.assert_array_equal(np.vstack([S_tr, S_va]), S)
+
+
+def test_metrics_writer(tmp_path):
+    path = os.path.join(tmp_path, "m.jsonl")
+    w = MetricsWriter(path)
+    w.log(1, logp=-10.5)
+    w.log(2, logp=-9.0)
+    w.close()
+    lines = open(path).read().strip().split("\n")
+    assert len(lines) == 2 and '"logp": -9.0' in lines[1]
+
+
+def test_diagnostics_iid(rng):
+    x = rng.randn(500, 4, 3)
+    r = split_rhat(x)
+    assert np.all(np.abs(r - 1.0) < 0.05)
+    e = ess(x)
+    assert np.all(e > 0.5 * 500 * 4)
+
+
+def test_diagnostics_stuck_chain(rng):
+    x = rng.randn(500, 4, 1)
+    x[:, 0, :] += 10.0  # one chain in a different mode
+    assert np.nanmax(split_rhat(x)) > 1.5

@@ -1,0 +1,105 @@
+"""Adaptive rejection sampling (≅ pyglm/inference/ars.py, SURVEY.md §2).
+
+Gilks & Wild (1992) tangent-based ARS for log-concave 1-D densities. The
+reference uses it for conditionals like the bias [M]; the TPU path normally
+covers those with HMC, but ARS is provided for parity and for exact 1-D
+conditional draws (it is also handy in Geweke testing). Host-side numpy: the
+algorithm is inherently sequential and data-dependent (hull refinement), the
+wrong shape for jit — and it is never on the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["adaptive_rejection_sample"]
+
+
+def adaptive_rejection_sample(
+    h,
+    h_prime,
+    x_init,
+    domain=(-np.inf, np.inf),
+    rng: np.random.RandomState | None = None,
+    max_points: int = 50,
+    max_iter: int = 500,
+):
+    """Draw one sample from the log-concave density ∝ exp(h(x)).
+
+    Args:
+      h, h_prime: log-density and its derivative (callables on floats).
+      x_init: sequence of ≥2 starting abscissae. For an unbounded domain they
+        must bracket the mode (h'(x_0) > 0 > h'(x_last)); a ValueError is
+        raised otherwise.
+      domain: (lower, upper) support bounds (may be infinite).
+    """
+    rng = rng or np.random.RandomState()
+    lo, hi = domain
+    xs = sorted(float(x) for x in x_init)
+    hs = [float(h(x)) for x in xs]
+    dhs = [float(h_prime(x)) for x in xs]
+
+    if not np.isfinite(lo) and dhs[0] <= 0:
+        raise ValueError("leftmost abscissa must have h' > 0 on unbounded-left domain")
+    if not np.isfinite(hi) and dhs[-1] >= 0:
+        raise ValueError("rightmost abscissa must have h' < 0 on unbounded-right domain")
+
+    def hull():
+        """Piecewise-linear upper hull: tangents at xs, intersections zs.
+        Returns (zs, segment data) with zs including domain bounds."""
+        zs = [lo]
+        for i in range(len(xs) - 1):
+            d = dhs[i] - dhs[i + 1]
+            if abs(d) < 1e-12:
+                z = 0.5 * (xs[i] + xs[i + 1])
+            else:
+                z = (hs[i + 1] - hs[i] - xs[i + 1] * dhs[i + 1] + xs[i] * dhs[i]) / d
+            zs.append(min(max(z, xs[i]), xs[i + 1]))
+        zs.append(hi)
+        return zs
+
+    def sample_hull(zs):
+        """Sample from the normalized piecewise-exponential upper hull."""
+        # segment i: tangent at xs[i] over (zs[i], zs[i+1])
+        log_masses = []
+        for i in range(len(xs)):
+            a, b = zs[i], zs[i + 1]
+            m, c = dhs[i], hs[i] - dhs[i] * xs[i]  # line m·x + c
+            if abs(m) < 1e-12:
+                lm = c + np.log(b - a) if b > a else -np.inf
+            else:
+                # log ∫_a^b e^{m x + c} dx, stable for either sign of m
+                top, bot = (b, a) if m > 0 else (a, b)
+                lm = c + m * top + np.log1p(-np.exp(m * (bot - top))) - np.log(abs(m))
+            log_masses.append(lm)
+        log_masses = np.array(log_masses)
+        M = log_masses.max()
+        w = np.exp(log_masses - M)
+        probs = w / w.sum()
+        i = rng.choice(len(xs), p=probs)
+        a, b = zs[i], zs[i + 1]
+        m = dhs[i]
+        u = rng.rand()
+        if abs(m) < 1e-12:
+            x = a + u * (b - a)
+        elif m > 0:
+            x = b + np.log(u + (1 - u) * np.exp(m * (a - b))) / m
+        else:
+            x = a + np.log(1 - u + u * np.exp(m * (b - a))) / m
+        # hull value at x
+        hx = hs[i] + m * (x - xs[i])
+        return float(x), float(hx)
+
+    for _ in range(max_iter):
+        zs = hull()
+        x, hux = sample_hull(zs)
+        hx = float(h(x))
+        if np.log(rng.rand() + 1e-300) <= hx - hux:
+            return x
+        # refine hull with the rejected point
+        if len(xs) < max_points:
+            j = np.searchsorted(xs, x)
+            xs.insert(j, x)
+            hs.insert(j, hx)
+            dhs.insert(j, float(h_prime(x)))
+    raise RuntimeError("ARS failed to accept within max_iter")

@@ -25,8 +25,8 @@ import copy
 
 __all__ = ["make_model", "TEMPLATES"]
 
-_COSINE_IMP = {"type": "cosine", "n_bas": 5, "a": 1.0 / 120.0, "b": 0.5, "norm": True}
-_COSINE_STIM = {"type": "cosine", "n_bas": 5, "a": 1.0 / 120.0, "b": 0.5, "norm": True}
+_COSINE_IMP = {"type": "cosine", "n_bas": 5, "a": 1.0, "b": 1.0, "norm": True}
+_COSINE_STIM = {"type": "cosine", "n_bas": 5, "a": 1.0, "b": 1.0, "norm": True}
 
 
 def _base(N):

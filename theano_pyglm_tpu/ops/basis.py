@@ -11,7 +11,7 @@ them to device arrays. The spec is a plain dict, mirroring the reference's
 nested-dict hyperparameter style::
 
     basis = create_basis({'type': 'cosine', 'n_bas': 5, 'dt': 1e-3,
-                          'dt_max': 0.1, 'a': 1/120., 'b': 0.5,
+                          'dt_max': 0.1, 'a': 1.0, 'b': 1.0,
                           'norm': True, 'orth': False, 'n_eye': 0})
 
 Returns an (L, B) float64 array whose columns are the basis functions sampled
@@ -30,8 +30,13 @@ DEFAULT_COSINE = {
     "type": "cosine",
     "n_eye": 0,
     "n_bas": 5,
-    "a": 1.0 / 120.0,
-    "b": 0.5,
+    # log-warp u = log(a·l + b) over the lag index l = 1..L. For the warp to
+    # actually be logarithmic (narrow early bumps, wide late ones), a·L must
+    # exceed b by orders of magnitude — a=1, b=1 gives ~4.6 nats of warp over
+    # L=100 lags. (A near-linear choice like a·L ≈ b degenerates into equal-
+    # width bumps with no early temporal resolution.)
+    "a": 1.0,
+    "b": 1.0,
     "orth": False,
     "norm": True,
 }
@@ -101,8 +106,8 @@ def create_basis(prms: dict) -> np.ndarray:
             L,
             n_eye=int(prms.get("n_eye", 0)),
             n_cos=n_bas,
-            a=float(prms.get("a", 1.0 / 120.0)),
-            b=float(prms.get("b", 0.5)),
+            a=float(prms.get("a", 1.0)),
+            b=float(prms.get("b", 1.0)),
         )
     elif typ == "exp":
         basis = _exp_basis(

@@ -1,0 +1,91 @@
+"""Result plotting (≅ pyglm/plotting/plot_results.py, SURVEY.md §2/L7).
+
+Inferred-vs-true network heatmaps, impulse-response and stimulus filters,
+firing-rate traces. Matplotlib with the Agg backend (headless safe); every
+function takes/returns numpy and writes a PNG when given a path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["plot_results", "plot_network", "plot_filters", "plot_rates"]
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_network(ax, G: np.ndarray, title: str = "network"):
+    v = np.nanmax(np.abs(G)) or 1.0
+    im = ax.imshow(G, cmap="RdBu_r", vmin=-v, vmax=v)
+    ax.set_title(title)
+    ax.set_xlabel("presynaptic")
+    ax.set_ylabel("postsynaptic")
+    return im
+
+
+def plot_filters(ax, basis: np.ndarray, weights: np.ndarray, dt: float, title: str = "filters"):
+    """weights: (K, B) — one line per filter k."""
+    t = (np.arange(basis.shape[0]) + 1) * dt
+    filters = weights @ basis.T  # (K, L)
+    for k in range(filters.shape[0]):
+        ax.plot(t, filters[k], lw=1)
+    ax.axhline(0, color="k", lw=0.5)
+    ax.set_title(title)
+    ax.set_xlabel("lag (s)")
+
+
+def plot_rates(ax, rates: np.ndarray, S: np.ndarray, dt: float, t_max: float = 2.0):
+    T = min(int(t_max / dt), rates.shape[0])
+    t = np.arange(T) * dt
+    for n in range(min(rates.shape[1], 5)):
+        ax.plot(t, rates[:T, n], lw=0.8)
+        spikes = np.where(S[:T, n] > 0)[0]
+        ax.plot(spikes * dt, np.full(len(spikes), -2.0 - n), "|", ms=4)
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("rate (Hz)")
+
+
+def plot_results(pop, params_inf: dict, params_true: dict = None, data: dict = None, path: str = None):
+    """Summary figure: inferred (vs true) coupling matrix, sample impulse and
+    stimulus filters, rate traces. Returns the figure."""
+    plt = _plt()
+    n_rows = 2 if params_true is not None else 1
+    fig, axes = plt.subplots(n_rows, 3, figsize=(12, 4 * n_rows), squeeze=False)
+
+    def row(ax_row, params, label):
+        G = np.asarray(params["A"] * pop.weights.effective_W(params))
+        plot_network(ax_row[0], G, f"{label} A∘W")
+        w_eff = np.asarray(pop.impulse.effective(params))
+        K = min(pop.N, 5)
+        plot_filters(
+            ax_row[1],
+            pop.basis_imp,
+            w_eff.reshape(-1, w_eff.shape[-1])[: K * K],
+            pop.dt,
+            f"{label} impulse filters",
+        )
+        if "w_stim" in params and pop.basis_stim is not None:
+            plot_filters(
+                ax_row[2],
+                pop.basis_stim,
+                np.asarray(params["w_stim"])[:, : pop.B_stim],
+                pop.dt,
+                f"{label} stimulus filters",
+            )
+        else:
+            ax_row[2].axis("off")
+
+    row(axes[0], params_inf, "inferred")
+    if params_true is not None:
+        row(axes[1], params_true, "true")
+    fig.tight_layout()
+    if path is not None:
+        fig.savefig(path, dpi=120)
+    return fig
