@@ -40,20 +40,30 @@ def build_problem(N=27, T=60_000, seed=0):
     return pop, opt, frozen, data
 
 
-def bench_tpu(pop, opt, frozen, data, n_iters=50):
+def bench_tpu(pop, opt, frozen, data, n_iters=200):
+    """Device-side eval loop (lax.scan), exactly how HMC leapfrog consumes
+    the kernel — host dispatch latency excluded, like the reference's timing
+    of compiled Theano thunks inside scipy's optimizer loop."""
     import jax
 
-    f = jax.jit(
-        jax.value_and_grad(lambda o: pop.log_joint({**frozen, **o}, data))
-    )
-    val, grad = f(opt)  # compile
-    jax.block_until_ready((val, grad))
+    vg = jax.value_and_grad(lambda o: pop.log_joint({**frozen, **o}, data))
+
+    @jax.jit
+    def loop(opt):
+        def body(carry, _):
+            val, grad = vg(carry)
+            # consume the gradient (mimics a leapfrog half-kick; defeats DCE)
+            carry = jax.tree.map(lambda c, g: c + 1e-9 * g, carry, grad)
+            return carry, val
+        return jax.lax.scan(body, opt, None, length=n_iters)
+
+    out = loop(opt)  # compile
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        val, grad = f(opt)
-    jax.block_until_ready((val, grad))
+    out = loop(opt)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return n_iters / dt, float(val)
+    return n_iters / dt, float(out[1][-1])
 
 
 def bench_numpy(pop, opt, frozen, data, n_iters=3):

@@ -147,6 +147,8 @@ def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
         I_n = I_rest_n + psi_n @ (A_n * W_n)
         keys = jax.random.split(key_n, N)
 
+        fast_path = nlin.name == "exp" and obs.name == "poisson"
+
         def entry(carry, inp):
             I_n, A_n, W_n = carry
             m, k = inp
@@ -155,30 +157,58 @@ def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
             I_wo = I_n - A_n[m] * W_n[m] * psi_m
             mu, sig = mu_n[m], sig_n[m]
 
-            def dll(w):
-                # ΔLL(w): likelihood gain of the edge at weight w.
-                return jnp.sum(
-                    obs.log_likelihood(S_n, I_wo + w * psi_m, nlin, dt)
-                    - obs.log_likelihood(S_n, I_wo, nlin, dt)
-                )
+            if fast_path:
+                # Closed forms for the exp-Poisson GLM: with E = e^{I_wo} and
+                # a = Σ_t S_t ψ_t,
+                #   ΔLL(w)   = a·w − dt·Σ E·(e^{wψ} − 1)
+                #   ΔLL'(w)  = a − dt·Σ E ψ e^{wψ}
+                #   ΔLL''(w) = −dt·Σ E ψ² e^{wψ}
+                # — one fused T-pass per Newton step instead of nested
+                # autodiff (3× fewer passes, far simpler XLA graph).
+                E_wo = jnp.exp(jnp.clip(I_wo, -40.0, 40.0))
+                a_stat = S_n @ psi_m
+
+                def dll(w):
+                    return a_stat * w - dt * jnp.sum(
+                        E_wo * jnp.expm1(jnp.clip(w * psi_m, -40.0, 40.0))
+                    )
+
+                def dll_grad_hess(w):
+                    u = E_wo * jnp.exp(jnp.clip(w * psi_m, -40.0, 40.0))
+                    return a_stat - dt * (u @ psi_m), -dt * (u @ (psi_m * psi_m))
+
+            else:
+
+                def dll(w):
+                    # ΔLL(w): likelihood gain of the edge at weight w.
+                    return jnp.sum(
+                        obs.log_likelihood(S_n, I_wo + w * psi_m, nlin, dt)
+                        - obs.log_likelihood(S_n, I_wo, nlin, dt)
+                    )
+
+                _d1 = jax.grad(dll)
+
+                def dll_grad_hess(w):
+                    return _d1(w), jax.grad(_d1)(w)
 
             def g(w):
                 z = (w - mu) / sig
                 return dll(w) - 0.5 * (z * z + _LOG2PI) - jnp.log(sig)
 
-            g_grad = jax.grad(g)
-            g_hess = jax.grad(g_grad)
+            def g_grad_hess(w):
+                d1, d2 = dll_grad_hess(w)
+                return d1 - (w - mu) / (sig * sig), d2 - 1.0 / (sig * sig)
 
             # Newton from the current weight (connected) or the prior mean.
             w0 = jnp.where(A_n[m] > 0, W_n[m], mu)
 
             def newton(w, _):
-                h = jnp.minimum(g_hess(w), -0.1 / (sig * sig))
-                w = w - g_grad(w) / h
-                return w, None
+                d1, d2 = g_grad_hess(w)
+                h = jnp.minimum(d2, -0.1 / (sig * sig))
+                return w - d1 / h, None
 
             w_star, _ = jax.lax.scan(newton, w0, None, length=n_newton)
-            h_star = jnp.minimum(g_hess(w_star), -0.1 / (sig * sig))
+            h_star = jnp.minimum(g_grad_hess(w_star)[1], -0.1 / (sig * sig))
             s = jnp.sqrt(-1.0 / h_star)
 
             # Laplace evidence of the edge (A=0 evidence is exactly 1).

@@ -59,10 +59,11 @@ class Population:
     data dict, so every method is jit/vmap/grad-safe.
     """
 
-    def __init__(self, spec: dict):
+    def __init__(self, spec: dict, use_pallas: str | bool = "auto"):
         self.spec = copy.deepcopy(spec)
         self.N = int(spec["N"])
         self.dt = float(spec.get("dt", 1e-3))
+        self._use_pallas = use_pallas
 
         # -- bases (host-side, built once; ≅ reference create_basis in set_data)
         imp_spec = dict(spec.get("impulse", {"type": "basis"}))
@@ -135,7 +136,13 @@ class Population:
         """
         S = jnp.asarray(S, default_float())
         T = S.shape[0]
-        data = {"S": S, "X_imp": convolve_with_basis(S, jnp.asarray(self.basis_imp))}
+        data = {
+            "S": S,
+            "X_imp": convolve_with_basis(S, jnp.asarray(self.basis_imp)),
+            # Poisson normalizer Σ log S! — constant w.r.t. params, folded in
+            # once here so the fused Pallas LL path can skip the (T, N) pass.
+            "_neg_log_S_factorial": -jnp.sum(jax.scipy.special.gammaln(S + 1.0)),
+        }
         if self.basis_stim is not None:
             if stim is None:
                 raise ValueError("model has a stimulus component but no stim given")
@@ -174,7 +181,37 @@ class Population:
         ll = self.observation.log_likelihood(data["S"], I, self.nlin, self.dt)
         return jnp.sum(ll, axis=0)
 
+    def _pallas_active(self) -> bool:
+        """Fused Pallas LL path: exp-Poisson on TPU at float32 (the x64
+        verification mode and CPU tests take the plain XLA path)."""
+        if self._use_pallas is False:
+            return False
+        if self.nlin.name != "exp" or self.observation.name != "poisson":
+            return False
+        if jax.config.jax_enable_x64:
+            return False
+        if self._use_pallas is True:
+            return True
+        return jax.default_backend() == "tpu"
+
     def log_likelihood(self, params, data) -> jax.Array:
+        if self._pallas_active() and "X_imp" in data:
+            from theano_pyglm_tpu.ops.pallas_kernels import fused_poisson_ll
+
+            T = data["S"].shape[0]
+            w_eff = self.impulse.effective(params)  # (N_post, N_pre, B)
+            U = (w_eff * self.coupling(params)[:, :, None])  # (N_post, N_pre, B)
+            U = jnp.transpose(U, (1, 2, 0)).reshape(self.N * self.B_imp, self.N)
+            X_f = data["X_imp"].reshape(T, self.N * self.B_imp)
+            I_rest = self.bias.current(params, data) + self.bkgd.current(params, data)
+            ll = fused_poisson_ll(
+                X_f, U, I_rest, data["S"], self.dt,
+                jax.default_backend() != "tpu",  # interpret off-TPU (tests)
+            )
+            const = data.get("_neg_log_S_factorial")
+            if const is None:
+                const = -jnp.sum(jax.scipy.special.gammaln(data["S"] + 1.0))
+            return ll + const
         return jnp.sum(self.log_likelihood_per_neuron(params, data))
 
     def log_prior(self, params) -> jax.Array:
