@@ -33,3 +33,27 @@ def test_roundtrip_exact(tmp_path):
     np.testing.assert_allclose(
         float(restored["glm"].step_size), float(state["glm"].step_size)
     )
+
+
+def test_gibbs_resume_continues_exactly(tmp_path):
+    """A checkpointed run that stops early and resumes must reproduce the
+    sample stream of an uninterrupted run (same chunk boundaries)."""
+    from theano_pyglm_tpu.inference import gibbs_sample
+
+    spec = make_model("sparse_weighted_model", 2, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 200)
+    data = pop.prepare_data(S)
+    key = jax.random.PRNGKey(7)
+    kw = dict(n_warmup=10, chunk_size=10, init_params=true)
+
+    full, _, _ = gibbs_sample(pop, data, key, n_samples=30, **kw)
+
+    d = os.path.join(tmp_path, "ck")
+    gibbs_sample(pop, data, key, n_samples=10, checkpoint_dir=d, **kw)
+    resumed, _, _ = gibbs_sample(
+        pop, data, key, n_samples=30, checkpoint_dir=d, resume=True, **kw
+    )
+    np.testing.assert_allclose(resumed["W"], full["W"], rtol=1e-12)
+    np.testing.assert_array_equal(resumed["A"], full["A"])

@@ -62,3 +62,22 @@ def test_mcmc_thinning():
         pop, data, jax.random.PRNGKey(2), n_samples=10, n_warmup=10, thin=3, chunk_size=30
     )
     assert samples["W"].shape[0] == 10
+
+
+def test_predictive_log_likelihood():
+    from theano_pyglm_tpu.inference.predictive import predictive_log_likelihood
+
+    spec = make_model("sparse_weighted_model", 2, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 400)
+    data_tr = pop.prepare_data(S[:300])
+    data_ho = pop.prepare_data(S[300:])
+    samples, _, _ = gibbs_sample(
+        pop, data_tr, jax.random.PRNGKey(2), n_samples=20, n_warmup=20, chunk_size=20
+    )
+    pll = float(predictive_log_likelihood(pop, samples, data_ho))
+    assert np.isfinite(pll)
+    # posterior-averaged predictive should beat a random prior draw
+    rand = float(pop.log_likelihood(pop.sample(jax.random.PRNGKey(99)), data_ho))
+    assert pll > rand - 50.0

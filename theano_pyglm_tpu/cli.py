@@ -133,6 +133,9 @@ def fit_mcmc(args):
                 pop, data, key,
                 n_samples=args.n_samples, n_warmup=args.n_warmup,
                 init_params=init, callback=cb,
+                checkpoint_dir=os.path.join(args.resultsDir, "checkpoints"),
+                checkpoint_every=args.checkpoint_every,
+                resume=args.resume,
             )
     metrics.close()
     out = os.path.join(args.resultsDir, "mcmc_samples.npz")

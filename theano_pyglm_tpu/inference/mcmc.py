@@ -185,6 +185,9 @@ def gibbs_sample(
     step_size: float = 0.02,
     target_accept: float = 0.9,
     callback=None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """Full Bayesian inference (≅ ``gibbs_sample(population, data, N)``).
 
@@ -192,7 +195,16 @@ def gibbs_sample(
     sweeps in device-side chunks of ``chunk_size``; every ``thin``-th params
     pytree streams to host. Returns (samples, diagnostics, final_state) where
     ``samples`` is a dict of numpy arrays with leading axis n_samples.
+
+    Checkpointing (SURVEY.md §5): with ``checkpoint_dir`` set, the full
+    sampler state (params + HMC adaptation + PRNG stream + iteration) is
+    saved every ``checkpoint_every`` iterations (0 ⇒ once per chunk) and
+    already-collected sample chunks are persisted alongside; ``resume=True``
+    continues *exactly* where a previous run stopped — unlike the
+    reference's rerun-from-a-pickled-sample restart.
     """
+    import os
+
     if n_warmup is None:
         n_warmup = max(100, n_samples // 5)
     if init_params is None:
@@ -200,34 +212,60 @@ def gibbs_sample(
 
     sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept)
     state = init_mcmc_state(pop, init_params, step_size=step_size)
+    total = n_samples * thin
+    it_global = 0  # warmup iters count 0..n_warmup, then sampling continues
+    host_chunks = []
 
-    k_warm, k_samp = jax.random.split(key)
+    k_run = key
+    if resume and checkpoint_dir is not None:
+        from theano_pyglm_tpu.utils.checkpoints import latest_step, restore_checkpoint
+
+        step = latest_step(checkpoint_dir)
+        if step is not None:
+            state, k_run, it_global = *restore_checkpoint(checkpoint_dir, step, template=state)[:2], step
+            for f in sorted(os.listdir(checkpoint_dir)):
+                if f.startswith("samples_") and f.endswith(".npz"):
+                    with np.load(os.path.join(checkpoint_dir, f)) as z:
+                        host_chunks.append({k: z[k] for k in z.files})
+
+    def maybe_checkpoint(it_global, samples_chunk):
+        if checkpoint_dir is None:
+            return
+        if checkpoint_every and (it_global % checkpoint_every) and it_global < n_warmup + total:
+            return
+        from theano_pyglm_tpu.utils.checkpoints import save_checkpoint
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        if samples_chunk is not None:
+            np.savez_compressed(
+                os.path.join(checkpoint_dir, f"samples_{it_global:09d}.npz"),
+                **samples_chunk,
+            )
+        save_checkpoint(checkpoint_dir, it_global, state, k_run)
 
     # --- warmup (no collection)
-    it = 0
-    while it < n_warmup:
-        n = min(chunk_size, n_warmup - it)
-        k_warm, k = jax.random.split(k_warm)
+    while it_global < n_warmup:
+        n = min(chunk_size, n_warmup - it_global)
+        k_run, k = jax.random.split(k_run)
         state, _ = _run_chunk(sweep, n, k, state, jnp.asarray(True), 0)
-        it += n
+        it_global += n
+        maybe_checkpoint(it_global, None)
         if callback is not None:
-            callback("warmup", it, state)
+            callback("warmup", it_global, state)
 
     # --- sampling
-    host_chunks = []
-    total = n_samples * thin
-    it = 0
-    while it < total:
-        n = min(chunk_size, total - it)
-        k_samp, k = jax.random.split(k_samp)
+    while it_global < n_warmup + total:
+        n = min(chunk_size, n_warmup + total - it_global)
+        k_run, k = jax.random.split(k_run)
         state, samples = _run_chunk(sweep, n, k, state, jnp.asarray(False), 1)
         samples = jax.tree.map(np.asarray, samples)
         if thin > 1:
             samples = jax.tree.map(lambda x: x[thin - 1 :: thin], samples)
         host_chunks.append(samples)
-        it += n
+        it_global += n
+        maybe_checkpoint(it_global, samples)
         if callback is not None:
-            callback("sample", it, state)
+            callback("sample", it_global, state)
 
     samples = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *host_chunks)
     diagnostics = {

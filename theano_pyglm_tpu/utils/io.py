@@ -34,6 +34,8 @@ def parse_cmd_line_args(argv=None, description: str = "theano_pyglm_tpu harness"
     p.add_argument("--n_chains", type=int, default=1)
     p.add_argument("--lam", type=float, default=None, help="sparsity penalty (MAP)")
     p.add_argument("--xv", action="store_true", help="cross-validate the sparsity penalty")
+    p.add_argument("--resume", action="store_true", help="resume MCMC from the checkpoint dir")
+    p.add_argument("--checkpoint_every", type=int, default=0, help="checkpoint cadence (0 = per chunk)")
     return p.parse_args(argv)
 
 
