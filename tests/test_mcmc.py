@@ -81,3 +81,30 @@ def test_predictive_log_likelihood():
     # posterior-averaged predictive should beat a random prior draw
     rand = float(pop.log_likelihood(pop.sample(jax.random.PRNGKey(99)), data_ho))
     assert pll > rand - 50.0
+
+
+def test_mcmc_bernoulli_observation():
+    """Bernoulli observations exercise the generic (autodiff) birth-death
+    path in the collapsed adjacency update."""
+    pop, samples, diag = _run("sparse_weighted_model", 3,
+                              observation={"type": "bernoulli"})
+    assert np.all(np.isfinite(samples["W"]))
+    assert set(np.unique(samples["A"])) <= {0.0, 1.0}
+
+
+def test_mcmc_shared_tuning_curve():
+    spec = make_model("standard_glm", 3, bkgd={
+        "type": "shared", "D_stim": 1, "dt_max": 0.2, "mu": 0.0, "sigma": 0.5,
+        "basis": {"type": "cosine", "n_bas": 4},
+    })
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    stim = rng.randn(300, 1)
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 300, stim=stim)
+    data = pop.prepare_data(S, stim=stim)
+    samples, diag, _ = gibbs_sample(
+        pop, data, jax.random.PRNGKey(2), n_samples=10, n_warmup=10, chunk_size=10
+    )
+    assert samples["w_stim_shared"].shape == (10, 4)
+    assert samples["gain"].shape == (10, 3)

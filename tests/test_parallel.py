@@ -77,3 +77,24 @@ def test_neuron_sharded_grad_matches_unsharded():
             np.testing.assert_allclose(
                 np.asarray(grad_sh[k]), np.asarray(grad[k]), rtol=1e-6, atol=1e-8
             )
+
+
+def test_parallel_map_matches_single_device():
+    from theano_pyglm_tpu.inference import map_fit
+    from theano_pyglm_tpu.parallel.map import parallel_map_fit
+
+    spec = make_model("sparse_weighted_model", 8, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 500)
+    data = pop.prepare_data(S)
+    init = pop.sample(jax.random.PRNGKey(7))
+
+    fit1, logp1, _ = map_fit(pop, data, init, max_iter=150)
+    mesh = neuron_mesh(8)
+    fit8, logp8, _ = parallel_map_fit(pop, data, init, mesh, max_iter=150)
+    # both converge to the same optimum of the same (convex-ish) objective
+    assert abs(float(logp1) - float(logp8)) < 1e-3 * max(1.0, abs(float(logp1)))
+    np.testing.assert_allclose(
+        np.asarray(fit8["bias"]), np.asarray(fit1["bias"]), atol=2e-3
+    )

@@ -42,7 +42,13 @@ __all__ = [
 def compute_psi(pop, params, data) -> jax.Array:
     """Unit-coupling currents ψ (T, N_post, N_pre) (see module docstring)."""
     w_eff = pop.impulse.effective(params)  # (N, N, B)
-    return jnp.einsum("tmb,nmb->tnm", data["X_imp"], w_eff)
+    X = data["X_imp"]
+    if X.dtype == jnp.bfloat16:
+        return jnp.einsum(
+            "tmb,nmb->tnm", X, w_eff.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum("tmb,nmb->tnm", X, w_eff)
 
 
 def rest_current(pop, params, data) -> jax.Array:

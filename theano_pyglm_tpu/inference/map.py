@@ -36,7 +36,7 @@ __all__ = [
 
 # Continuous, unconstrained leaves MAP (and HMC) may move. Discrete latents
 # (A, y) and conjugate hypers (pi, Bm, rho) are handled by the Gibbs machinery.
-CONTINUOUS_KEYS = ("bias", "w_stim", "w_stim_s", "w_stim_t", "w_ir", "W", "locs")
+CONTINUOUS_KEYS = ("bias", "w_stim", "w_stim_s", "w_stim_t", "w_stim_shared", "gain", "w_ir", "W", "locs")
 
 
 def split_params(params: dict, keys: Sequence[str] = CONTINUOUS_KEYS):

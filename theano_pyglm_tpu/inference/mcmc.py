@@ -38,7 +38,7 @@ from theano_pyglm_tpu.utils.dtypes import default_float
 
 __all__ = ["make_sweep", "gibbs_sample", "init_mcmc_state"]
 
-_GLM_KEYS = ("bias", "w_stim", "w_stim_s", "w_stim_t", "w_ir", "W")
+_GLM_KEYS = ("bias", "w_stim", "w_stim_s", "w_stim_t", "w_stim_shared", "gain", "w_ir", "W")
 _LATENT_KEYS = ("locs",)
 
 

@@ -117,6 +117,29 @@ def make_bkgd(spec: dict, N: int, B_stim: int, D_stim: int) -> CurrentComponent:
 
         return CurrentComponent("bkgd", sample, log_prior, current)
 
+    if typ == "shared":
+        # Shared tuning curve with per-neuron gain (SURVEY.md §2 [L]):
+        # one population-level temporal filter, each neuron scales it.
+        DB = D_stim * B_stim
+
+        def sample(key):
+            k1, k2 = jax.random.split(key)
+            return {
+                "w_stim_shared": mu + sigma * jax.random.normal(k1, (DB,)),
+                "gain": 1.0 + 0.3 * jax.random.normal(k2, (N,)),
+            }
+
+        def log_prior(params):
+            return jnp.sum(gaussian_logpdf(params["w_stim_shared"], mu, sigma)) + jnp.sum(
+                gaussian_logpdf(params["gain"], 1.0, 0.3)
+            )
+
+        def current(params, data):
+            drive = data["X_stim"] @ params["w_stim_shared"]  # (T,)
+            return drive[:, None] * params["gain"][None, :]
+
+        return CurrentComponent("bkgd", sample, log_prior, current)
+
     if typ == "spatiotemporal":
 
         def sample(key):
@@ -192,8 +215,17 @@ def make_impulse(spec: dict, N: int, B_imp: int) -> CurrentComponent:
 
     def current(params, data):
         w_eff = effective(params)
+        X = data["X_imp"]
         # ψ[t,p,n] = X_imp[t,p,:]·w_eff[n,p,:]; then weight by G[n,p] and sum.
-        return jnp.einsum("tpb,npb,np->tn", data["X_imp"], w_eff, data["_G"])
+        if X.dtype == jnp.bfloat16:
+            # keep bf16 design tensors on the MXU with f32 accumulation
+            # (upcasting the stream would forfeit the bandwidth win)
+            return jnp.einsum(
+                "tpb,npb,np->tn", X, w_eff.astype(jnp.bfloat16),
+                data["_G"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        return jnp.einsum("tpb,npb,np->tn", X, w_eff, data["_G"])
 
     # ``effective`` is also used by simulate() and the collapsed-Gibbs A updates.
     return CurrentComponent("impulse", sample, log_prior, current, effective)
