@@ -95,3 +95,47 @@ def test_diagnostics_stuck_chain(rng):
     x = rng.randn(500, 4, 1)
     x[:, 0, :] += 10.0  # one chain in a different mode
     assert np.nanmax(split_rhat(x)) > 1.5
+
+
+def test_time_rescaling_ks():
+    """Under the TRUE intensity the rescaled ISIs are uniform (KS accepts);
+    under a wrong (constant) intensity on strongly modulated data it rejects."""
+    import jax
+
+    from theano_pyglm_tpu import Population, make_model
+    from theano_pyglm_tpu.utils.ks import time_rescaling_ks
+
+    spec = make_model("standard_glm", 2)
+    spec["bias"] = {"mu": 3.0, "sigma": 0.1}  # ~20 Hz
+    spec["bkgd"]["sigma"] = 2.0  # strong stimulus modulation
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    stim = rng.randn(30000, 1)
+    S, rates = pop.simulate(jax.random.PRNGKey(1), params, 30000, stim=stim)
+    S, rates = np.asarray(S), np.asarray(rates)
+
+    ks_true, pv_true, _ = time_rescaling_ks(rates, S, pop.dt)
+    assert np.all(pv_true > 0.005), pv_true
+
+    flat = np.full_like(rates, rates.mean())
+    ks_flat, pv_flat, _ = time_rescaling_ks(flat, S, pop.dt)
+    assert np.all(pv_flat < 1e-4), pv_flat
+    assert np.all(ks_flat > ks_true)
+
+
+def test_spec_validation_errors():
+    import pytest as _pytest
+
+    from theano_pyglm_tpu import Population, make_model
+
+    spec = make_model("standard_glm", 2)
+    spec["nlin"] = {"type": "relu"}
+    with _pytest.raises(ValueError, match="nlin.type"):
+        Population(spec)
+    spec = make_model("standard_glm", 2)
+    spec["typo_section"] = {}
+    with _pytest.raises(ValueError, match="typo_section"):
+        Population(spec)
+    with _pytest.raises(ValueError, match="positive int"):
+        Population({"N": -3})

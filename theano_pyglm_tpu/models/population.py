@@ -42,6 +42,7 @@ from theano_pyglm_tpu.models.components import (
     make_observation,
 )
 from theano_pyglm_tpu.models.network import make_graph, make_weights
+from theano_pyglm_tpu.models.spec import validate_spec
 from theano_pyglm_tpu.ops.basis import create_basis
 from theano_pyglm_tpu.ops.convolve import convolve_with_basis, upsample_stim
 from theano_pyglm_tpu.utils.dtypes import default_float
@@ -70,6 +71,7 @@ class Population:
         gradient pass (matmuls still accumulate in f32). ~0.4% relative
         quantization on coupling currents; leave None (full precision) for
         verification runs."""
+        validate_spec(spec)
         self.spec = copy.deepcopy(spec)
         self.N = int(spec["N"])
         self.dt = float(spec.get("dt", 1e-3))

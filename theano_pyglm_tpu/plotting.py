@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["plot_results", "plot_network", "plot_filters", "plot_rates"]
+__all__ = ["plot_results", "plot_network", "plot_filters", "plot_rates", "plot_ks"]
 
 
 def _plt():
@@ -50,6 +50,26 @@ def plot_rates(ax, rates: np.ndarray, S: np.ndarray, dt: float, t_max: float = 2
         ax.plot(spikes * dt, np.full(len(spikes), -2.0 - n), "|", ms=4)
     ax.set_xlabel("time (s)")
     ax.set_ylabel("rate (Hz)")
+
+
+def plot_ks(ax, rates: np.ndarray, S: np.ndarray, dt: float):
+    """Time-rescaling KS plot (Brown et al. 2002): rescaled-ISI quantiles vs
+    uniform, with 95% KS bands (≅ the reference's KS/predictive plots [L])."""
+    from theano_pyglm_tpu.utils.ks import time_rescaling_ks
+
+    ks, pv, us = time_rescaling_ks(rates, S, dt)
+    for u in us:
+        if len(u):
+            q = (np.arange(len(u)) + 0.5) / len(u)
+            ax.plot(q, u, lw=0.8)
+    ax.plot([0, 1], [0, 1], "k--", lw=0.8)
+    n_med = int(np.median([len(u) for u in us if len(u)]) or 1)
+    band = 1.36 / np.sqrt(n_med)
+    ax.plot([0, 1], [band, 1 + band], "k:", lw=0.6)
+    ax.plot([0, 1], [-band, 1 - band], "k:", lw=0.6)
+    ax.set_xlabel("uniform quantile")
+    ax.set_ylabel("rescaled ISI quantile")
+    ax.set_title("KS (time rescaling)")
 
 
 def plot_results(pop, params_inf: dict, params_true: dict = None, data: dict = None, path: str = None):
