@@ -23,7 +23,6 @@ import numpy as np
 
 def build_problem(N=27, T=60_000, seed=0):
     import jax
-    import jax.numpy as jnp
 
     from theano_pyglm_tpu import Population, make_model
     from theano_pyglm_tpu.inference.map import split_params

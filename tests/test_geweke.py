@@ -66,3 +66,70 @@ def test_geweke_er_model():
     # second moments
     assert abs(W[:, off].std() - 2.0) < 0.35
     assert abs(bias.std() - 0.5) < 0.12
+
+
+def _geweke_chain(pop, T, n_iter, key, step_size=0.03):
+    params = pop.sample(jax.random.PRNGKey(0))
+
+    def joint_step(carry, k):
+        state, params = carry
+        k1, k2 = jax.random.split(k)
+        S, _ = pop.simulate(k1, params, T)
+        data = pop.prepare_data(S)
+        sweep = make_sweep(pop, data, n_leapfrog=5)
+        state = dict(state)
+        state["params"] = params
+        state = sweep(k2, state, jnp.asarray(False))
+        return (state, state["params"]), state["params"]
+
+    state = init_mcmc_state(pop, params, step_size=step_size)
+    keys = jax.random.split(key, n_iter)
+    (_, _), samples = jax.jit(
+        lambda carry, ks: jax.lax.scan(joint_step, carry, ks)
+    )((state, params), keys)
+    return samples
+
+
+@pytest.mark.slow
+def test_geweke_sbm_model():
+    """Successive-conditional chain must preserve the SBM prior: block
+    probabilities Beta(1,1) (mean 1/2), types uniform, A matching B[y,y']."""
+    N, T = 3, 50
+    spec = make_model("sbm_weighted_model", N, bkgd={"type": "none"})
+    pop = Population(spec)
+    samples = _geweke_chain(pop, T, 1500, jax.random.PRNGKey(3))
+    burn = 300
+    Bm = np.asarray(samples["Bm"])[burn:]
+    pi = np.asarray(samples["pi"])[burn:]
+    y = np.asarray(samples["y"])[burn:]
+    n = Bm.shape[0]
+    # Beta(1,1) prior: mean 1/2, sd sqrt(1/12)≈0.289
+    assert abs(Bm.mean() - 0.5) < 5 * 0.289 / np.sqrt(n / 10)
+    # symmetric Dirichlet(1,1): E[pi_k]=1/2
+    assert abs(pi[:, 0].mean() - 0.5) < 5 * 0.289 / np.sqrt(n / 10)
+    # types marginally uniform
+    assert abs(np.mean(y == 0) - 0.5) < 0.1
+
+
+@pytest.mark.slow
+def test_geweke_distance_model():
+    """Latent-location HMC + birth-death sweep must preserve ℓ ~ N(0, σ_ℓ²)
+    and the induced edge density."""
+    N, T = 3, 50
+    spec = make_model("distance_weighted_model", N, bkgd={"type": "none"})
+    pop = Population(spec)
+    samples = _geweke_chain(pop, T, 2000, jax.random.PRNGKey(4))
+    burn = 400
+    locs = np.asarray(samples["locs"])[burn:]
+    A = np.asarray(samples["A"])[burn:]
+    n = locs.shape[0]
+    se = 1.0 / np.sqrt(n / 10)
+    assert abs(locs.mean()) < 5 * se, locs.mean()
+    assert abs(locs.std() - 1.0) < 0.12, locs.std()
+    # prior edge prob: E[sigmoid(1 - d²)] under iid N(0,1) 2-D locations
+    rngp = np.random.RandomState(0)
+    l1, l2 = rngp.randn(20000, 2), rngp.randn(20000, 2)
+    d2 = ((l1 - l2) ** 2).sum(1)
+    p_off = float((1 / (1 + np.exp(-(1.0 - d2)))).mean())
+    off = ~np.eye(N, dtype=bool)
+    assert abs(A[:, off].mean() - p_off) < 0.08, (A[:, off].mean(), p_off)

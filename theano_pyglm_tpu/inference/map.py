@@ -20,7 +20,7 @@ chosen by held-out predictive log-likelihood via :func:`cross_validate_lambda`.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

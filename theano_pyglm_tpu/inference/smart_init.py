@@ -15,9 +15,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from theano_pyglm_tpu.utils.sta import sta
 
 __all__ = ["smart_initialize"]
 

@@ -37,7 +37,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from theano_pyglm_tpu.ops.distributions import gaussian_logpdf, poisson_logpmf
+from theano_pyglm_tpu.ops.distributions import gaussian_logpdf
 from theano_pyglm_tpu.utils.dtypes import default_float
 
 __all__ = [

@@ -18,7 +18,6 @@ or choose the mesh accordingly).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["neuron_partition_specs", "make_sharded_value_and_grad"]
