@@ -143,6 +143,10 @@ def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
     S, dt, nlin, obs = data["S"], pop.dt, pop.nlin, pop.observation
     N = pop.N
     psi = compute_psi(pop, params, data)  # (T, N, N)
+    if data["X_imp"].dtype == jnp.bfloat16:
+        # the user opted into bf16 design tensors; ψ dominates the sweep's
+        # HBM traffic, so carry it at the same precision
+        psi = psi.astype(jnp.bfloat16)
     I_rest = rest_current(pop, params, data)
     MU, SIG = pop.weights.prior_mu_sigma()
     P = pop.graph.edge_prob(params)
