@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Run the five BASELINE.json acceptance configs end-to-end and emit a JSON
+report. Full scale by default (TPU); ``--quick`` shrinks sizes for a CPU
+smoke pass.
+
+  1. single-neuron standard GLM, 60 s @ 1 ms, MAP
+  2. N=10 Erdős–Rényi network, sparse MAP + cross-validated λ
+  3. N=10 network, full HMC, 4 parallel chains
+  4. N=16 SBM latent-type model, collapsed Gibbs + HMC
+  5. N=27 distance-dependent model, 10k-iter joint MCMC (see rgc_flagship.py
+     for the multi-chain flagship; here a reduced single-chain pass unless
+     --full5)
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny sizes (CPU smoke)")
+    ap.add_argument("--full5", action="store_true", help="run config 5 at full 10k iters")
+    ap.add_argument("--resultsDir", "-r", default="results/acceptance")
+    args = ap.parse_args()
+    q = args.quick
+
+    import jax
+
+    from theano_pyglm_tpu import Population, make_model
+    from theano_pyglm_tpu.inference import (
+        cross_validate_lambda,
+        gibbs_sample,
+        map_fit,
+        sparse_map_fit,
+    )
+    from theano_pyglm_tpu.inference.smart_init import smart_initialize
+    from theano_pyglm_tpu.parallel import gibbs_sample_chains
+    from theano_pyglm_tpu.utils.diagnostics import summarize_chains
+
+    report = {}
+    rng = np.random.RandomState(0)
+
+    def synth(name, N, T, seed=0, **over):
+        spec = make_model(name, N, **over)
+        spec["bias"] = {"mu": 2.5, "sigma": 0.4}
+        pop = Population(spec)
+        true = pop.sample(jax.random.PRNGKey(seed))
+        stim = rng.randn(T, 1).astype(np.float32) if pop.basis_stim is not None else None
+        S, rates = pop.simulate(jax.random.PRNGKey(seed + 1), true, T, stim=stim)
+        return pop, true, S, stim
+
+    # ---- config 1: single-neuron standard GLM, MAP
+    t0 = time.time()
+    T1 = 5_000 if q else 60_000
+    pop, true, S, stim = synth("standard_glm", 1, T1)
+    data = pop.prepare_data(S, stim=stim)
+    fit, logp, iters = map_fit(pop, data, smart_initialize(pop, data))
+    report["config1_standard_glm_map"] = {
+        "log_joint": float(logp),
+        "log_joint_at_truth": float(pop.log_joint(true, data)),
+        "map_beats_truth": bool(float(logp) >= float(pop.log_joint(true, data)) - 1e-3),
+        "iters": int(iters),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print("config 1 done", report["config1_standard_glm_map"], flush=True)
+
+    # ---- config 2: N=10 ER, sparse MAP + xv lambda
+    t0 = time.time()
+    T2 = 4_000 if q else 30_000
+    pop, true, S, stim = synth("sparse_weighted_model", 10, T2)
+    init = smart_initialize(pop, pop.prepare_data(S, stim=stim))
+    init["A"] = np.ones((10, 10))
+    lambdas = [1.0, 10.0] if q else [0.3, 3.0, 30.0, 300.0]
+    best, fits, scores = cross_validate_lambda(
+        pop, S, stim, init, lambdas, max_iter=100 if q else 300
+    )
+    data2 = pop.prepare_data(S, stim=stim)
+    params2, logp2, _ = sparse_map_fit(pop, data2, init, best, max_iter=100 if q else 400)
+    off = ~np.eye(10, dtype=bool)
+    W2 = np.asarray(params2["W"])
+    report["config2_sparse_map_xv"] = {
+        "best_lambda": float(best),
+        "xv_scores": [round(s, 1) for s in scores],
+        "offdiag_sparsity_frac_below_0.05": float((np.abs(W2[off]) < 0.05).mean()),
+        "log_joint": float(logp2),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print("config 2 done", report["config2_sparse_map_xv"], flush=True)
+
+    # ---- config 3: N=10 full HMC, 4 parallel chains
+    t0 = time.time()
+    T3 = 3_000 if q else 30_000
+    pop, true, S, stim = synth("sparse_weighted_model", 10, T3, seed=2)
+    data3 = pop.prepare_data(S, stim=stim)
+    ns = 50 if q else 500
+    samples3, diag3, _ = gibbs_sample_chains(
+        pop, data3, jax.random.PRNGKey(3), n_chains=4,
+        n_samples=ns, n_warmup=ns, chunk_size=min(100, ns),
+    )
+    conv3 = summarize_chains(samples3)
+    report["config3_hmc_4chains"] = {
+        "n_samples_per_chain": ns,
+        "max_rhat_W": round(conv3["W"]["max_rhat"], 3),
+        "min_ess_W": round(conv3["W"]["min_ess"], 1),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print("config 3 done", report["config3_hmc_4chains"], flush=True)
+
+    # ---- config 4: N=16 SBM, collapsed Gibbs + HMC
+    t0 = time.time()
+    T4 = 3_000 if q else 30_000
+    pop, true, S, stim = synth("sbm_weighted_model", 16, T4, seed=4)
+    data4 = pop.prepare_data(S, stim=stim)
+    ns = 50 if q else 1000
+    samples4, diag4, _ = gibbs_sample(
+        pop, data4, jax.random.PRNGKey(5), n_samples=ns, n_warmup=ns,
+        chunk_size=min(200, ns),
+    )
+    report["config4_sbm"] = {
+        "n_samples": ns,
+        "accept_rate": round(float(diag4["accept_rate_glm"]), 3),
+        "mean_edge_prob": round(float(samples4["A"].mean()), 3),
+        "types_used": int(len(np.unique(samples4["y"][-1]))),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print("config 4 done", report["config4_sbm"], flush=True)
+
+    # ---- config 5: N=27 distance model joint MCMC
+    t0 = time.time()
+    T5 = 3_000 if q else 60_000
+    n5 = 100 if q else (10_000 if args.full5 else 2_000)
+    pop, true, S, stim = synth("distance_weighted_model", 27, T5, seed=6)
+    data5 = pop.prepare_data(S, stim=stim)
+    samples5, diag5, _ = gibbs_sample(
+        pop, data5, jax.random.PRNGKey(7), n_samples=n5 // 10, thin=10,
+        n_warmup=n5 // 10, chunk_size=min(500, n5 // 10),
+    )
+    report["config5_distance_mcmc"] = {
+        "iters": n5 + n5 // 10,
+        "accept_rate": round(float(diag5["accept_rate_glm"]), 3),
+        "wall_s": round(time.time() - t0, 1),
+        "note": "full 10k multi-chain run: scripts/rgc_flagship.py",
+    }
+    print("config 5 done", report["config5_distance_mcmc"], flush=True)
+
+    os.makedirs(args.resultsDir, exist_ok=True)
+    with open(os.path.join(args.resultsDir, "acceptance_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
