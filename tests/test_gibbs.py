@@ -137,3 +137,40 @@ def test_sbm_hyper_conjugate_posterior():
     counts = onehot.sum(0)
     want_pi = (1.0 + counts) / (2.0 + counts.sum())
     np.testing.assert_allclose(pis.mean(axis=0), want_pi, atol=0.06)
+
+
+def test_weight_hyper_conjugate_posterior():
+    """NIG update: with a dominant data term the sampled (mu, sigma) must
+    match the empirical off-diagonal W moments."""
+    from theano_pyglm_tpu.inference.gibbs import update_weight_hypers
+
+    spec = make_model("sparse_weighted_model", 6, bkgd={"type": "none"})
+    spec["network"]["weight"]["infer_hypers"] = True
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    W = rng.normal(1.3, 0.7, (6, 6))
+    params["W"] = jnp.asarray(W)
+    keys = jax.random.split(jax.random.PRNGKey(1), 400)
+    mus = np.array([float(update_weight_hypers(k, pop, params)["W_mu"]) for k in keys])
+    sigs = np.array([float(update_weight_hypers(k, pop, params)["W_sigma"]) for k in keys])
+    off = ~np.eye(6, dtype=bool)
+    assert abs(mus.mean() - W[off].mean()) < 0.15
+    assert abs(sigs.mean() - W[off].std()) < 0.2
+
+
+def test_mcmc_with_weight_hypers():
+    from theano_pyglm_tpu.inference import gibbs_sample
+
+    spec = make_model("sparse_weighted_model", 3, bkgd={"type": "none"})
+    spec["network"]["weight"]["infer_hypers"] = True
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 300)
+    data = pop.prepare_data(S)
+    samples, diag, _ = gibbs_sample(
+        pop, data, jax.random.PRNGKey(2), n_samples=15, n_warmup=15, chunk_size=15
+    )
+    assert samples["W_mu"].shape == (15,)
+    assert np.all(samples["W_sigma"] > 0)
+    assert np.std(samples["W_sigma"]) > 1e-4  # hypers actually move

@@ -33,6 +33,7 @@ __all__ = [
     "update_adjacency",
     "update_adjacency_collapsed",
     "refresh_disconnected_weights",
+    "update_weight_hypers",
     "update_sbm_types",
     "update_sbm_hypers",
     "update_er_rho",
@@ -148,7 +149,7 @@ def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
         # HBM traffic, so carry it at the same precision
         psi = psi.astype(jnp.bfloat16)
     I_rest = rest_current(pop, params, data)
-    MU, SIG = pop.weights.prior_mu_sigma()
+    MU, SIG = pop.weights.prior_mu_sigma(params)
     P = pop.graph.edge_prob(params)
     logit_prior = jnp.log(jnp.clip(P, 1e-12, 1.0)) - jnp.log(jnp.clip(1.0 - P, 1e-12, 1.0))
     _LOG2PI = 1.8378770664093453
@@ -284,7 +285,7 @@ def refresh_disconnected_weights(key, pop, params):
     """Resample W[n,m] | A[n,m]=0 from its prior (the exact conditional)."""
     if not pop.weights.has_W:
         return params
-    MU, SIG = pop.weights.prior_mu_sigma()
+    MU, SIG = pop.weights.prior_mu_sigma(params)
     W_prior = MU + SIG * jax.random.normal(key, params["W"].shape)
     W = jnp.where(params["A"] > 0, params["W"], W_prior)
     return {**params, "W": W}
@@ -346,6 +347,36 @@ def update_sbm_hypers(key, pop, params):
     Bm = jax.random.beta(k2, b0 + edges, b1 + (pairs - edges))
     Bm = jnp.clip(Bm, 1e-6, 1.0 - 1e-6)
     return {**params, "pi": pi, "Bm": Bm}
+
+
+def update_weight_hypers(key, pop, params):
+    """Conjugate Normal–Inverse-Gamma resampling of the off-diagonal weight
+    prior's (μ_W, σ_W²) given all off-diagonal W entries (the slab applies to
+    every entry — disconnected weights are prior draws and carry hyper
+    information in the joint model). Active when the weight spec sets
+    ``infer_hypers`` (≅ reference's conjugate hyper updates, SURVEY.md §2)."""
+    if pop.weights.name != "gaussian" or "W_mu" not in params:
+        return params
+    wspec = pop.spec["network"]["weight"]
+    m0, k0 = float(wspec.get("m0", 0.0)), float(wspec.get("k0", 1.0))
+    a0, b0 = float(wspec.get("a0", 2.0)), float(wspec.get("b0", 2.0))
+
+    N = pop.N
+    off = 1.0 - jnp.eye(N)
+    w = params["W"]
+    n = N * (N - 1)
+    wbar = jnp.sum(w * off) / n
+    ss = jnp.sum(off * (w - wbar) ** 2)
+
+    k_n = k0 + n
+    m_n = (k0 * m0 + n * wbar) / k_n
+    a_n = a0 + n / 2.0
+    b_n = b0 + 0.5 * ss + k0 * n * (wbar - m0) ** 2 / (2.0 * k_n)
+
+    k1, k2 = jax.random.split(key)
+    var = b_n / jax.random.gamma(k1, a_n)
+    mu_new = m_n + jnp.sqrt(var / k_n) * jax.random.normal(k2)
+    return {**params, "W_mu": mu_new, "W_sigma": jnp.sqrt(var)}
 
 
 def update_er_rho(key, pop, params):

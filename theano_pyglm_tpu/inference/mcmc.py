@@ -32,6 +32,7 @@ from theano_pyglm_tpu.inference.gibbs import (
     update_er_rho,
     update_sbm_hypers,
     update_sbm_types,
+    update_weight_hypers,
 )
 from theano_pyglm_tpu.inference.hmc import HMCState, hmc_adaptive_step
 from theano_pyglm_tpu.utils.dtypes import default_float
@@ -105,7 +106,7 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
 
     def sweep(key, state, adapt):
         params = state["params"]
-        k_glm, k_lat, k_w, k_a, k_y, k_hyp = jax.random.split(key, 6)
+        k_glm, k_lat, k_wh, k_w, k_a, k_y, k_hyp = jax.random.split(key, 7)
 
         # 1. HMC on the continuous GLM block
         opt, frozen = _partition(params, _GLM_KEYS)
@@ -137,7 +138,8 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
             params = {**frozen, **h_lat.position}
             new_state["latent"] = h_lat
 
-        # 3–5. discrete machinery
+        # 3–5. discrete machinery + conjugate hypers
+        params = update_weight_hypers(k_wh, pop, params)
         params = refresh_disconnected_weights(k_w, pop, params)
         params = update_adjacency_collapsed(k_a, pop, params, data)
         params = update_sbm_types(k_y, pop, params)

@@ -63,7 +63,7 @@ class WeightComponent(NamedTuple):
     sample: Callable  # key -> dict of param leaves
     log_prior: Callable  # params -> scalar
     effective_W: Callable  # params -> (N, N)
-    prior_mu_sigma: Callable  # () -> ((N,N) mu, (N,N) sigma) or None if constant
+    prior_mu_sigma: Callable  # (params) -> ((N,N) mu, (N,N) sigma) or None if constant
     has_W: bool
 
 
@@ -187,29 +187,57 @@ def make_weights(spec: dict, N: int) -> WeightComponent:
         def effective_W(params):
             return jnp.full((N, N), value)
 
-        return WeightComponent("constant", sample, log_prior, effective_W, lambda: None, False)
+        return WeightComponent("constant", sample, log_prior, effective_W, lambda params: None, False)
 
     if typ == "gaussian":
         mu = float(spec.get("mu", 0.0))
         sigma = float(spec.get("sigma", 1.0))
         mu_self = float(spec.get("mu_self", spec.get("mu_refractory", mu)))
         sigma_self = float(spec.get("sigma_self", spec.get("sigma_refractory", sigma)))
+        infer_hypers = bool(spec.get("infer_hypers", False))
+        # Normal–Inverse-Gamma hyperprior on the off-diagonal (μ_W, σ_W²):
+        # μ_W | σ² ~ N(m0, σ²/k0), σ² ~ InvGamma(a0, b0). Conjugately
+        # resampled by inference.gibbs.update_weight_hypers (SURVEY.md §2
+        # "hyperparameter resampling via conjugacy").
+        m0, k0 = float(spec.get("m0", 0.0)), float(spec.get("k0", 1.0))
+        a0, b0 = float(spec.get("a0", 2.0)), float(spec.get("b0", 2.0))
 
         eye = jnp.eye(N)
-        MU = mu * (1 - eye) + mu_self * eye
-        SIG = sigma * (1 - eye) + sigma_self * eye
+
+        def mu_sig(params):
+            mu_od = params.get("W_mu", mu) if infer_hypers else mu
+            sig_od = params.get("W_sigma", sigma) if infer_hypers else sigma
+            MU = mu_od * (1 - eye) + mu_self * eye
+            SIG = sig_od * (1 - eye) + sigma_self * eye
+            return MU, SIG
 
         def sample(key):
-            return {"W": MU + SIG * jax.random.normal(key, (N, N))}
+            k1, k2, k3 = jax.random.split(key, 3)
+            out = {}
+            if infer_hypers:
+                var = b0 / jax.random.gamma(k2, a0)  # InvGamma(a0, b0)
+                out["W_sigma"] = jnp.sqrt(var)
+                out["W_mu"] = m0 + jnp.sqrt(var / k0) * jax.random.normal(k3)
+            MU, SIG = mu_sig(out)
+            out["W"] = MU + SIG * jax.random.normal(k1, (N, N))
+            return out
 
         def log_prior(params):
-            return jnp.sum(gaussian_logpdf(params["W"], MU, SIG))
+            MU, SIG = mu_sig(params)
+            lp = jnp.sum(gaussian_logpdf(params["W"], MU, SIG))
+            if infer_hypers:
+                var = params["W_sigma"] ** 2
+                # InvGamma(a0,b0) density in σ² plus N(m0, σ²/k0) on μ
+                lp = lp + (-(a0 + 1.0) * jnp.log(var) - b0 / var)
+                lp = lp + gaussian_logpdf(params["W_mu"], m0, params["W_sigma"] / jnp.sqrt(k0))
+            return lp
 
         def effective_W(params):
             return params["W"]
 
-        return WeightComponent(
-            "gaussian", sample, log_prior, effective_W, lambda: (MU, SIG), True
+        comp = WeightComponent(
+            "gaussian", sample, log_prior, effective_W, mu_sig, True
         )
+        return comp
 
     raise ValueError(f"unknown weight type {typ!r}")

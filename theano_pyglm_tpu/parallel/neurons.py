@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["neuron_partition_specs", "make_sharded_value_and_grad"]
 
-_REPLICATED_KEYS = ("pi", "Bm", "rho")  # global hypers: replicate
+_REPLICATED_KEYS = ("pi", "Bm", "rho", "W_mu", "W_sigma")  # global hypers: replicate
 
 
 def neuron_partition_specs(params: dict, data: dict, axis: str = "neurons"):
