@@ -1,13 +1,22 @@
-"""Hamiltonian Monte Carlo — scan-compiled leapfrog with dual averaging.
+"""Hamiltonian Monte Carlo — scan-compiled leapfrog, dual averaging, and
+diagonal mass-matrix adaptation.
 
 Rebuild of ``pyglm/inference/hmc.py`` (SURVEY.md §2 "HMC kernel"): the
 reference runs a numpy leapfrog with adaptive step size targeting ~0.9
 acceptance. Here the whole trajectory is a ``lax.scan`` inside the caller's
-jit, the target is any pure ``logp(pytree) -> scalar``, and step-size
-adaptation uses Nesterov dual averaging (Hoffman & Gelman 2014) toward the
-same high target acceptance rate. Works on arbitrary pytrees (vmap-able
-across chains), so the same kernel serves per-neuron GLM weights, network
-weights, and latent locations.
+jit, the target is any pure ``logp(pytree) -> scalar``, and warmup adapts
+
+  * the global step size ε by Nesterov dual averaging (Hoffman & Gelman 2014
+    §3.2) toward the target acceptance, and
+  * a per-coordinate scale (diagonal inverse mass) from Welford running
+    variances of the position — essential when one block mixes razor-sharp
+    coordinates (a bias with 10⁴ spikes behind it) with prior-scale ones
+    (disconnected coupling logits); a single unpreconditioned ε would mix the
+    diffuse directions glacially.
+
+Leapfrog runs in the rescaled coordinates: kick p += ½·ε·s∘∇logp, drift
+q += ε·s∘p with s the coordinate scales — exactly HMC with mass matrix
+M = diag(1/s²). Works on arbitrary pytrees (vmap-able across chains).
 """
 
 from __future__ import annotations
@@ -23,7 +32,7 @@ __all__ = ["HMCState", "hmc_init", "hmc", "hmc_adaptive_step"]
 
 
 class HMCState(NamedTuple):
-    """Carryable HMC state: position + step-size adaptation statistics."""
+    """Carryable HMC state: position + step-size/mass adaptation statistics."""
 
     position: dict
     log_prob: jax.Array
@@ -34,6 +43,19 @@ class HMCState(NamedTuple):
     t: jax.Array
     accept_rate: jax.Array
     mu: jax.Array = None  # dual-averaging shrinkage point log(10·ε₀)
+    # diagonal mass adaptation (Welford over warmup positions)
+    scale: dict = None  # per-coordinate std estimate (≡ sqrt of inv mass)
+    pos_mean: dict = None
+    pos_m2: dict = None
+    n_var: jax.Array = None
+
+
+def _ones_like_tree(position):
+    return jax.tree.map(jnp.ones_like, position)
+
+
+def _zeros_like_tree(position):
+    return jax.tree.map(jnp.zeros_like, position)
 
 
 def hmc_init(position, logp_fn: Callable, step_size: float = 0.01) -> HMCState:
@@ -49,18 +71,22 @@ def hmc_init(position, logp_fn: Callable, step_size: float = 0.01) -> HMCState:
         t=jnp.asarray(0.0, f),
         accept_rate=jnp.asarray(1.0, f),
         mu=jnp.log(10.0 * eps),
+        scale=_ones_like_tree(position),
+        pos_mean=_zeros_like_tree(position),
+        pos_m2=_zeros_like_tree(position),
+        n_var=jnp.asarray(0.0, f),
     )
 
 
-def _leapfrog(logp_fn, q, p, eps, n_steps):
-    """n_steps leapfrog steps; returns (q', p', logp(q'))."""
+def _leapfrog(logp_fn, q, p, eps, scale, n_steps):
+    """n_steps preconditioned leapfrog steps; returns (q', p', logp(q'))."""
     grad_fn = jax.grad(logp_fn)
 
     def half_kick(p, g):
-        return jax.tree.map(lambda p_, g_: p_ + 0.5 * eps * g_, p, g)
+        return jax.tree.map(lambda p_, s_, g_: p_ + 0.5 * eps * s_ * g_, p, scale, g)
 
     def drift(q, p):
-        return jax.tree.map(lambda q_, p_: q_ + eps * p_, q, p)
+        return jax.tree.map(lambda q_, s_, p_: q_ + eps * s_ * p_, q, scale, p)
 
     def step(carry, _):
         q, p = carry
@@ -84,6 +110,7 @@ def hmc(
     log_prob_curr,
     step_size,
     n_steps: int = 10,
+    scale=None,
 ):
     """One HMC transition (≅ the reference's ``hmc(U, grad_U, ...)``).
 
@@ -92,10 +119,13 @@ def hmc(
       q_curr / log_prob_curr: current position and cached log-density.
       step_size: leapfrog step size (traced scalar ok).
       n_steps: static number of leapfrog steps.
+      scale: optional per-coordinate scale pytree (diagonal preconditioner).
 
     Returns:
       (q_new, log_prob_new, accept_prob)
     """
+    if scale is None:
+        scale = _ones_like_tree(q_curr)
     k_mom, k_acc = jax.random.split(key)
     leaves, treedef = jax.tree.flatten(q_curr)
     mom_keys = jax.random.split(k_mom, len(leaves))
@@ -103,7 +133,7 @@ def hmc(
         [jax.random.normal(k, x.shape, x.dtype) for k, x in zip(mom_keys, leaves)]
     )
 
-    q_new, p_new, lp_new = _leapfrog(logp_fn, q_curr, p0, step_size, n_steps)
+    q_new, p_new, lp_new = _leapfrog(logp_fn, q_curr, p0, step_size, scale, n_steps)
     h0 = -log_prob_curr + _kinetic(p0)
     h1 = -lp_new + _kinetic(p_new)
     log_accept = jnp.clip(h0 - h1, None, 0.0)
@@ -128,20 +158,21 @@ def hmc_adaptive_step(
     gamma: float = 0.05,
     t0: float = 10.0,
     kappa: float = 0.75,
+    var_warmup: float = 25.0,
+    scale_floor: float = 1e-4,
 ):
-    """HMC transition + dual-averaging step-size adaptation.
+    """HMC transition + dual-averaging ε + Welford mass adaptation.
 
-    Nesterov dual averaging exactly as in Hoffman & Gelman (2014) §3.2,
-    targeting the reference's high accept rate (~0.9, SURVEY.md §2 [M]):
-
-        H̄_t   = (1 − 1/(t+t₀))·H̄_{t−1} + (target − accept)/(t+t₀)
-        log ε_t = μ − √t/γ · H̄_t,     μ = log(10·ε₀)
-        log ε̄_t = t^{−κ}·log ε_t + (1 − t^{−κ})·log ε̄_{t−1}
-
-    ``adapt`` may be a traced bool so warmup and sampling share one compiled
-    step; once it is False the iterate-averaged ε̄ is used and frozen.
+    While ``adapt`` is true (a traced bool, so warmup and sampling share one
+    compiled step) the position stream updates Welford mean/variance per
+    coordinate; once at least ``var_warmup`` updates have accumulated, the
+    leapfrog scale becomes the running std (floored). When ``adapt`` turns
+    false both ε (iterate-averaged) and the scale freeze.
     """
-    q, lp, acc = hmc(key, logp_fn, state.position, state.log_prob, state.step_size, n_steps)
+    scale = state.scale if state.scale is not None else _ones_like_tree(state.position)
+    q, lp, acc = hmc(
+        key, logp_fn, state.position, state.log_prob, state.step_size, n_steps, scale
+    )
 
     t = state.t + 1.0
     w = 1.0 / (t + t0)
@@ -156,5 +187,28 @@ def hmc_adaptive_step(
     new_h = jnp.where(adapt, h_avg, state.h_avg)
     new_t = jnp.where(adapt, t, state.t)
 
+    # --- Welford variance of the position stream (warmup only)
+    n_var = jnp.where(adapt, state.n_var + 1.0, state.n_var)
+    nv = jnp.maximum(n_var, 1.0)
+
+    def upd_mean(m, x):
+        return jnp.where(adapt, m + (x - m) / nv, m)
+
+    def upd_m2(m2, m_old, m_new, x):
+        return jnp.where(adapt, m2 + (x - m_old) * (x - m_new), m2)
+
+    mean_new = jax.tree.map(upd_mean, state.pos_mean, q)
+    m2_new = jax.tree.map(upd_m2, state.pos_m2, state.pos_mean, mean_new, q)
+
+    def mk_scale(m2, s_old):
+        std = jnp.sqrt(jnp.maximum(m2 / jnp.maximum(nv - 1.0, 1.0), scale_floor**2))
+        use = adapt & (n_var > var_warmup)
+        return jnp.where(use, std, s_old)
+
+    scale_new = jax.tree.map(mk_scale, m2_new, scale)
+
     rate = 0.99 * state.accept_rate + 0.01 * acc
-    return HMCState(q, lp, new_eps, new_avg, new_h, new_t, rate, state.mu)
+    return HMCState(
+        q, lp, new_eps, new_avg, new_h, new_t, rate, state.mu,
+        scale_new, mean_new, m2_new, n_var,
+    )

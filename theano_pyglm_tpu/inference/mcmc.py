@@ -62,6 +62,10 @@ def _fresh_block_state(prev: HMCState, position, log_prob) -> HMCState:
         t=prev.t,
         accept_rate=prev.accept_rate,
         mu=prev.mu,
+        scale=prev.scale,
+        pos_mean=prev.pos_mean,
+        pos_m2=prev.pos_m2,
+        n_var=prev.n_var,
     )
 
 
@@ -86,6 +90,10 @@ def init_mcmc_state(pop, params, step_size: float = 0.02) -> dict:
             t=jnp.asarray(0.0, f),
             accept_rate=jnp.asarray(1.0, f),
             mu=jnp.log(10.0 * eps),
+            scale=jax.tree.map(jnp.ones_like, position),
+            pos_mean=jax.tree.map(jnp.zeros_like, position),
+            pos_m2=jax.tree.map(jnp.zeros_like, position),
+            n_var=jnp.asarray(0.0, f),
         )
 
     glm_pos, _ = _partition(params, _GLM_KEYS)
