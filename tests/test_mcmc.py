@@ -108,3 +108,30 @@ def test_mcmc_shared_tuning_curve():
     )
     assert samples["w_stim_shared"].shape == (10, 4)
     assert samples["gain"].shape == (10, 3)
+
+
+def test_windowed_mass_adaptation_runs():
+    """n_warmup >= 40 triggers the Stan-style adaptation windows (variance
+    reset + mass application + eps re-anchor) in both drivers."""
+    from theano_pyglm_tpu.parallel import gibbs_sample_chains
+
+    spec = make_model("sparse_weighted_model", 3, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 300)
+    data = pop.prepare_data(S)
+    samples, diag, state = gibbs_sample(
+        pop, data, jax.random.PRNGKey(2), n_samples=10, n_warmup=60, chunk_size=25
+    )
+    assert np.all(np.isfinite(samples["W"]))
+    # the mass matrix was actually applied (scale differs from ones)
+    sc = np.asarray(state["glm"].scale["bias"])
+    assert not np.allclose(sc, 1.0)
+
+    samples, diag, states = gibbs_sample_chains(
+        pop, data, jax.random.PRNGKey(3), n_chains=3, n_samples=10, n_warmup=60,
+        chunk_size=25,
+    )
+    assert np.all(np.isfinite(samples["W"]))
+    sc = np.asarray(states["glm"].scale["bias"])
+    assert sc.shape[0] == 3 and not np.allclose(sc, 1.0)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from theano_pyglm_tpu.utils.dtypes import default_float
 
-__all__ = ["HMCState", "hmc_init", "hmc", "hmc_adaptive_step"]
+__all__ = ["HMCState", "hmc_init", "hmc", "hmc_adaptive_step", "reset_variance", "apply_mass_matrix"]
 
 
 class HMCState(NamedTuple):
@@ -158,16 +158,16 @@ def hmc_adaptive_step(
     gamma: float = 0.05,
     t0: float = 10.0,
     kappa: float = 0.75,
-    var_warmup: float = 25.0,
-    scale_floor: float = 1e-4,
 ):
-    """HMC transition + dual-averaging ε + Welford mass adaptation.
+    """HMC transition + dual-averaging ε + Welford statistics collection.
 
     While ``adapt`` is true (a traced bool, so warmup and sampling share one
-    compiled step) the position stream updates Welford mean/variance per
-    coordinate; once at least ``var_warmup`` updates have accumulated, the
-    leapfrog scale becomes the running std (floored). When ``adapt`` turns
-    false both ε (iterate-averaged) and the scale freeze.
+    compiled step) ε follows dual averaging and the position stream updates
+    Welford mean/variance per coordinate. The statistics are only *collected*
+    here — the scale is applied explicitly between warmup windows via
+    :func:`apply_mass_matrix` / :func:`reset_variance` (Stan-style windowed
+    adaptation): applying a variance that still contains the initial
+    transient's drift would freeze a badly wrong preconditioner.
     """
     scale = state.scale if state.scale is not None else _ones_like_tree(state.position)
     q, lp, acc = hmc(
@@ -187,7 +187,7 @@ def hmc_adaptive_step(
     new_h = jnp.where(adapt, h_avg, state.h_avg)
     new_t = jnp.where(adapt, t, state.t)
 
-    # --- Welford variance of the position stream (warmup only)
+    # --- Welford variance of the position stream (collected during warmup)
     n_var = jnp.where(adapt, state.n_var + 1.0, state.n_var)
     nv = jnp.maximum(n_var, 1.0)
 
@@ -200,15 +200,44 @@ def hmc_adaptive_step(
     mean_new = jax.tree.map(upd_mean, state.pos_mean, q)
     m2_new = jax.tree.map(upd_m2, state.pos_m2, state.pos_mean, mean_new, q)
 
-    def mk_scale(m2, s_old):
-        std = jnp.sqrt(jnp.maximum(m2 / jnp.maximum(nv - 1.0, 1.0), scale_floor**2))
-        use = adapt & (n_var > var_warmup)
-        return jnp.where(use, std, s_old)
-
-    scale_new = jax.tree.map(mk_scale, m2_new, scale)
-
     rate = 0.99 * state.accept_rate + 0.01 * acc
     return HMCState(
         q, lp, new_eps, new_avg, new_h, new_t, rate, state.mu,
-        scale_new, mean_new, m2_new, n_var,
+        scale, mean_new, m2_new, n_var,
+    )
+
+
+def reset_variance(state: HMCState) -> HMCState:
+    """Zero the Welford statistics (start of a clean variance window)."""
+    return state._replace(
+        pos_mean=_zeros_like_tree(state.position),
+        pos_m2=_zeros_like_tree(state.position),
+        n_var=jnp.zeros_like(state.n_var),
+    )
+
+
+def apply_mass_matrix(state: HMCState, scale_floor: float = 1e-4) -> HMCState:
+    """Set the leapfrog scale from the collected window variance and
+    re-anchor dual averaging around the current ε (the preconditioner change
+    invalidates the old ε statistics — Stan does the same between windows).
+    Regularizes toward unit scale when the window is short."""
+    n = jnp.maximum(state.n_var, 1.0)
+
+    def mk(m2):
+        # n_var may be per-chain (batched states): align its rank for
+        # broadcasting against the (chain, ...) parameter leaves.
+        nn = n.reshape(n.shape + (1,) * (m2.ndim - n.ndim))
+        w = nn / (nn + 5.0)
+        var = m2 / jnp.maximum(nn - 1.0, 1.0)
+        var = w * var + (1.0 - w) * 1e-3  # shrink toward a small floor scale
+        return jnp.sqrt(jnp.maximum(var, scale_floor**2))
+
+    scale = jax.tree.map(mk, state.pos_m2)
+    eps = state.step_size
+    return state._replace(
+        scale=scale,
+        mu=jnp.log(10.0 * eps),
+        log_eps_avg=jnp.log(eps),
+        h_avg=jnp.zeros_like(state.h_avg),
+        t=jnp.zeros_like(state.t),
     )

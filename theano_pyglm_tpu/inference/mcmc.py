@@ -34,10 +34,37 @@ from theano_pyglm_tpu.inference.gibbs import (
     update_sbm_types,
     update_weight_hypers,
 )
-from theano_pyglm_tpu.inference.hmc import HMCState, hmc_adaptive_step
+from theano_pyglm_tpu.inference.hmc import (
+    HMCState,
+    apply_mass_matrix,
+    hmc_adaptive_step,
+    reset_variance,
+)
 from theano_pyglm_tpu.utils.dtypes import default_float
 
-__all__ = ["make_sweep", "gibbs_sample", "init_mcmc_state"]
+__all__ = ["make_sweep", "gibbs_sample", "init_mcmc_state", "warmup_schedule", "adapt_boundary"]
+
+
+def warmup_schedule(n_warmup: int):
+    """Stan-style warmup windows: [0,b1) ε-only, [b1,b2) variance window,
+    apply mass at b2, [b2,n) ε re-adaptation. Mass adaptation is skipped for
+    very short warmups (the window would be too noisy)."""
+    if n_warmup < 40:
+        return []
+    b1 = max(1, int(0.15 * n_warmup))
+    b2 = max(b1 + 1, int(0.80 * n_warmup))
+    return [(b1, "reset"), (b2, "apply")]
+
+
+def adapt_boundary(state: dict, action: str) -> dict:
+    """Apply a warmup-window boundary action to every HMC block (works on
+    chain-batched states too — all ops are elementwise on the leaves)."""
+    fn = reset_variance if action == "reset" else apply_mass_matrix
+    out = dict(state)
+    for k in ("glm", "latent"):
+        if k in out:
+            out[k] = fn(out[k])
+    return out
 
 _GLM_KEYS = ("bias", "w_stim", "w_stim_s", "w_stim_t", "w_stim_shared", "gain", "w_ir", "W")
 _LATENT_KEYS = ("locs",)
@@ -253,12 +280,20 @@ def gibbs_sample(
             )
         save_checkpoint(checkpoint_dir, it_global, state, k_run)
 
-    # --- warmup (no collection)
+    # --- warmup (no collection), with Stan-style adaptation windows
+    boundaries = warmup_schedule(n_warmup)
     while it_global < n_warmup:
-        n = min(chunk_size, n_warmup - it_global)
+        next_stop = min(
+            [n_warmup] + [b for b, _ in boundaries if b > it_global]
+        )
+        n = min(chunk_size, next_stop - it_global)
         k_run, k = jax.random.split(k_run)
+        prev_it = it_global
         state, _ = _run_chunk(sweep, n, k, state, jnp.asarray(True), 0)
         it_global += n
+        for b, action in boundaries:
+            if prev_it < b <= it_global:
+                state = adapt_boundary(state, action)
         maybe_checkpoint(it_global, None)
         if callback is not None:
             callback("warmup", it_global, state)

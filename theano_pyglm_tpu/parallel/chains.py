@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from theano_pyglm_tpu.inference.mcmc import init_mcmc_state, make_sweep
+from theano_pyglm_tpu.inference.mcmc import (
+    adapt_boundary,
+    init_mcmc_state,
+    make_sweep,
+    warmup_schedule,
+)
 from theano_pyglm_tpu.utils.diagnostics import summarize_chains
 
 __all__ = ["gibbs_sample_chains"]
@@ -90,14 +95,19 @@ def gibbs_sample_chains(
 
     k_warm, k_samp = jax.random.split(chain_keys[-1])
 
-    def run_phase(k_base, total, adapt, collect):
+    def run_phase(k_base, total, adapt, collect, boundaries=()):
         nonlocal states
         host_chunks = []
         it = 0
         while it < total:
-            n = min(chunk_size, total - it)
+            next_stop = min([total] + [b for b, _ in boundaries if b > it])
+            n = min(chunk_size, next_stop - it)
             k_base, k = jax.random.split(k_base)
+            prev_it = it
             states, samples = _run_chunk_chains(vsweep, n, k, states, adapt, collect)
+            for b, action in boundaries:
+                if prev_it < b <= prev_it + n:
+                    states = adapt_boundary(states, action)
             if collect:
                 samples = jax.tree.map(np.asarray, samples)
                 if thin > 1:
@@ -108,7 +118,7 @@ def gibbs_sample_chains(
                 callback("sample" if collect else "warmup", it, states)
         return host_chunks
 
-    run_phase(k_warm, n_warmup, jnp.asarray(True), False)
+    run_phase(k_warm, n_warmup, jnp.asarray(True), False, warmup_schedule(n_warmup))
     host_chunks = run_phase(k_samp, n_samples * thin, jnp.asarray(False), True)
 
     samples = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *host_chunks)
