@@ -40,7 +40,9 @@ def numpy_log_joint(pop, params, data):
     if W is None:
         W = np.full((N, N), float(spec["network"]["weight"].get("value", 1.0)))
     G = p["A"] * W
-    X_imp = np.asarray(data["X_imp"])
+    # prepare_data centers the design columns; undo it here so the oracle
+    # computes from first principles
+    X_imp = np.asarray(data["X_imp"]) + np.asarray(data["_X_imp_mean"])[None]
     for n in range(N):
         for m in range(N):
             I[:, n] += G[n, m] * (X_imp[:, m, :] @ w_eff[n, m, :])

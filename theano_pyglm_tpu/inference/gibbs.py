@@ -45,11 +45,16 @@ def compute_psi(pop, params, data) -> jax.Array:
     w_eff = pop.impulse.effective(params)  # (N, N, B)
     X = data["X_imp"]
     if X.dtype == jnp.bfloat16:
-        return jnp.einsum(
+        psi = jnp.einsum(
             "tmb,nmb->tnm", X, w_eff.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
-    return jnp.einsum("tmb,nmb->tnm", X, w_eff)
+    else:
+        psi = jnp.einsum("tmb,nmb->tnm", X, w_eff)
+    mean = data.get("_X_imp_mean")
+    if mean is not None:
+        psi = psi + jnp.einsum("mb,nmb->nm", mean, w_eff)[None]
+    return psi
 
 
 def rest_current(pop, params, data) -> jax.Array:

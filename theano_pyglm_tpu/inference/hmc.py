@@ -216,11 +216,19 @@ def reset_variance(state: HMCState) -> HMCState:
     )
 
 
-def apply_mass_matrix(state: HMCState, scale_floor: float = 1e-4) -> HMCState:
-    """Set the leapfrog scale from the collected window variance and
-    re-anchor dual averaging around the current ε (the preconditioner change
-    invalidates the old ε statistics — Stan does the same between windows).
-    Regularizes toward unit scale when the window is short."""
+def apply_mass_matrix(
+    state: HMCState, scale_floor: float = 1e-4, eps_restart: float = 0.1
+) -> HMCState:
+    """Set the leapfrog scale from the collected window variance and restart
+    dual averaging (the preconditioner change invalidates the old ε
+    statistics — Stan does the same between windows).
+
+    ε restarts at ``eps_restart``, NOT at the pre-apply value: before
+    preconditioning ε is pinned by the sharpest raw direction (often 1e-5),
+    while in the rescaled space every direction is ~unit variance and the
+    natural ε is O(0.1) — dual averaging could never climb 3–4 orders of
+    magnitude within one warmup window, leaving the sampler frozen.
+    Regularizes the variance toward a floor when the window is short."""
     n = jnp.maximum(state.n_var, 1.0)
 
     def mk(m2):
@@ -233,9 +241,10 @@ def apply_mass_matrix(state: HMCState, scale_floor: float = 1e-4) -> HMCState:
         return jnp.sqrt(jnp.maximum(var, scale_floor**2))
 
     scale = jax.tree.map(mk, state.pos_m2)
-    eps = state.step_size
+    eps = jnp.full_like(state.step_size, eps_restart)
     return state._replace(
         scale=scale,
+        step_size=eps,
         mu=jnp.log(10.0 * eps),
         log_eps_avg=jnp.log(eps),
         h_avg=jnp.zeros_like(state.h_avg),

@@ -46,20 +46,30 @@ __all__ = ["make_sweep", "gibbs_sample", "init_mcmc_state", "warmup_schedule", "
 
 
 def warmup_schedule(n_warmup: int):
-    """Stan-style warmup windows: [0,b1) ε-only, [b1,b2) variance window,
-    apply mass at b2, [b2,n) ε re-adaptation. Mass adaptation is skipped for
-    very short warmups (the window would be too noisy)."""
+    """Stan-style expanding warmup windows:
+    [0,b1) ε-only · [b1,b2) variance window 1 · apply+reset at b2 ·
+    [b2,b3) variance window 2 (now well-preconditioned and mixing) ·
+    apply at b3 · [b3,n) final ε adaptation. Mass adaptation is skipped for
+    very short warmups (the windows would be too noisy)."""
     if n_warmup < 40:
         return []
     b1 = max(1, int(0.15 * n_warmup))
-    b2 = max(b1 + 1, int(0.80 * n_warmup))
-    return [(b1, "reset"), (b2, "apply")]
+    b2 = max(b1 + 1, int(0.50 * n_warmup))
+    b3 = max(b2 + 1, int(0.85 * n_warmup))
+    return [(b1, "reset"), (b2, "apply_reset"), (b3, "apply")]
 
 
 def adapt_boundary(state: dict, action: str) -> dict:
     """Apply a warmup-window boundary action to every HMC block (works on
     chain-batched states too — all ops are elementwise on the leaves)."""
-    fn = reset_variance if action == "reset" else apply_mass_matrix
+
+    def fn(s):
+        if action == "reset":
+            return reset_variance(s)
+        if action == "apply_reset":
+            return reset_variance(apply_mass_matrix(s))
+        return apply_mass_matrix(s)
+
     out = dict(state)
     for k in ("glm", "latent"):
         if k in out:

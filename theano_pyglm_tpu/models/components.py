@@ -220,12 +220,18 @@ def make_impulse(spec: dict, N: int, B_imp: int) -> CurrentComponent:
         if X.dtype == jnp.bfloat16:
             # keep bf16 design tensors on the MXU with f32 accumulation
             # (upcasting the stream would forfeit the bandwidth win)
-            return jnp.einsum(
+            I = jnp.einsum(
                 "tpb,npb,np->tn", X, w_eff.astype(jnp.bfloat16),
                 data["_G"].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
-        return jnp.einsum("tpb,npb,np->tn", X, w_eff, data["_G"])
+        else:
+            I = jnp.einsum("tpb,npb,np->tn", X, w_eff, data["_G"])
+        mean = data.get("_X_imp_mean")
+        if mean is not None:
+            # the centered-out column means re-enter as a constant current
+            I = I + jnp.einsum("pb,npb,np->n", mean, w_eff, data["_G"])[None, :]
+        return I
 
     # ``effective`` is also used by simulate() and the collapsed-Gibbs A updates.
     return CurrentComponent("impulse", sample, log_prior, current, effective)

@@ -150,11 +150,19 @@ class Population:
         S = jnp.asarray(S, default_float())
         T = S.shape[0]
         X_imp = convolve_with_basis(S, jnp.asarray(self.basis_imp))
+        # Center the spike design columns (exact reparameterization: the
+        # column means re-enter the currents as a per-pair constant). Raw
+        # X_imp columns have mean ≈ rate·Σφ, which couples every coupling
+        # weight to the bias along a razor-thin ridge — centering removes
+        # the dominant correlation and conditions both L-BFGS and HMC.
+        X_mean = jnp.mean(X_imp, axis=0)  # (N_pre, B)
+        X_imp = X_imp - X_mean[None]
         if self.design_dtype is not None:
             X_imp = X_imp.astype(self.design_dtype)
         data = {
             "S": S,
             "X_imp": X_imp,
+            "_X_imp_mean": X_mean,
             # Poisson normalizer Σ log S! — constant w.r.t. params, folded in
             # once here so the fused Pallas LL path can skip the (T, N) pass.
             "_neg_log_S_factorial": -jnp.sum(jax.scipy.special.gammaln(S + 1.0)),
@@ -236,6 +244,10 @@ class Population:
             U = jnp.transpose(U, (1, 2, 0)).reshape(self.N * self.B_imp, self.N)
             X_f = data["X_imp"].reshape(T, self.N * self.B_imp)
             I_rest = self.bias.current(params, data) + self.bkgd.current(params, data)
+            mean = data.get("_X_imp_mean")
+            if mean is not None:
+                offset = mean.reshape(-1).astype(U.dtype) @ U  # (N_post,)
+                I_rest = I_rest + offset[None, :]
             ll = fused_poisson_ll(
                 X_f, U, I_rest, data["S"], self.dt,
                 jax.default_backend() != "tpu",  # interpret off-TPU (tests)
