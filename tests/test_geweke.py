@@ -118,8 +118,8 @@ def test_geweke_distance_model():
     N, T = 3, 50
     spec = make_model("distance_weighted_model", N, bkgd={"type": "none"})
     pop = Population(spec)
-    samples = _geweke_chain(pop, T, 2000, jax.random.PRNGKey(4))
-    burn = 400
+    samples = _geweke_chain(pop, T, 4000, jax.random.PRNGKey(4), step_size=0.1)
+    burn = 800
     locs = np.asarray(samples["locs"])[burn:]
     A = np.asarray(samples["A"])[burn:]
     n = locs.shape[0]

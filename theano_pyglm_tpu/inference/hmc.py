@@ -187,9 +187,22 @@ def hmc_adaptive_step(
     new_h = jnp.where(adapt, h_avg, state.h_avg)
     new_t = jnp.where(adapt, t, state.t)
 
-    # --- Welford variance of the position stream (collected during warmup)
+    # --- Welford variance of the position stream (collected during warmup).
+    # Residuals are winsorized at 6 running-σ: coordinates that occasionally
+    # JUMP between a tight conditional and their prior (spike-and-slab
+    # weights/logits flipped by the birth-death move) would otherwise inflate
+    # the scale far beyond the conditional sd HMC actually navigates.
     n_var = jnp.where(adapt, state.n_var + 1.0, state.n_var)
     nv = jnp.maximum(n_var, 1.0)
+
+    def winsorize(x, m, m2):
+        std = jnp.sqrt(m2 / jnp.maximum(nv - 1.0, 1.0))
+        lim = 6.0 * jnp.maximum(std, 1e-8)
+        r = x - m
+        r = jnp.where(nv > 10.0, jnp.clip(r, -lim, lim), r)
+        return m + r
+
+    q_w = jax.tree.map(winsorize, q, state.pos_mean, state.pos_m2)
 
     def upd_mean(m, x):
         return jnp.where(adapt, m + (x - m) / nv, m)
@@ -197,8 +210,8 @@ def hmc_adaptive_step(
     def upd_m2(m2, m_old, m_new, x):
         return jnp.where(adapt, m2 + (x - m_old) * (x - m_new), m2)
 
-    mean_new = jax.tree.map(upd_mean, state.pos_mean, q)
-    m2_new = jax.tree.map(upd_m2, state.pos_m2, state.pos_mean, mean_new, q)
+    mean_new = jax.tree.map(upd_mean, state.pos_mean, q_w)
+    m2_new = jax.tree.map(upd_m2, state.pos_m2, state.pos_mean, mean_new, q_w)
 
     rate = 0.99 * state.accept_rate + 0.01 * acc
     return HMCState(

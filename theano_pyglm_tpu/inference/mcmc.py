@@ -71,12 +71,24 @@ def adapt_boundary(state: dict, action: str) -> dict:
         return apply_mass_matrix(s)
 
     out = dict(state)
-    for k in ("glm", "latent"):
+    for k, _ in _HMC_BLOCKS:
         if k in out:
             out[k] = fn(out[k])
     return out
 
-_GLM_KEYS = ("bias", "w_stim", "w_stim_s", "w_stim_t", "w_stim_shared", "gain", "w_ir", "W")
+# HMC runs in separate blocks per component group (as the reference's Gibbs
+# loop does, SURVEY.md §3.3) — each block gets its own step size and diagonal
+# preconditioner. Mixing sharply- and diffusely-scaled groups under one ε
+# pins it at the sharpest direction and stalls everything else. W is in NO
+# block: the birth-death move re-proposes every (A, W) entry from a Laplace
+# approximation of its exact conditional each sweep (near-iid mixing), and a
+# spike-and-slab marginal would poison any Welford preconditioner.
+_HMC_BLOCKS = (
+    ("glm", ("bias", "w_stim", "w_stim_s", "w_stim_t", "w_stim_shared", "gain")),
+    ("imp", ("w_ir",)),
+    ("latent", ("locs",)),
+)
+_GLM_KEYS = tuple(k for _, ks in _HMC_BLOCKS for k in ks)
 _LATENT_KEYS = ("locs",)
 
 
@@ -133,11 +145,11 @@ def init_mcmc_state(pop, params, step_size: float = 0.02) -> dict:
             n_var=jnp.asarray(0.0, f),
         )
 
-    glm_pos, _ = _partition(params, _GLM_KEYS)
-    state = {"params": params, "glm": block(glm_pos)}
-    lat_pos, _ = _partition(params, _LATENT_KEYS)
-    if lat_pos:
-        state["latent"] = block(lat_pos)
+    state = {"params": params}
+    for name, keys in _HMC_BLOCKS:
+        pos, _ = _partition(params, keys)
+        if pos:
+            state[name] = block(pos)
     return state
 
 
@@ -147,41 +159,32 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
     Returns ``sweep(key, state, adapt) -> state`` with ``adapt`` a traced
     bool enabling step-size adaptation (warmup).
     """
-    has_latent_block = len(pop.graph.continuous_keys) > 0
-
     def sweep(key, state, adapt):
         params = state["params"]
-        k_glm, k_lat, k_wh, k_w, k_a, k_y, k_hyp = jax.random.split(key, 7)
+        k_blocks, k_wh, k_w, k_a, k_y, k_hyp = jax.random.split(key, 6)
+        block_keys = jax.random.split(k_blocks, len(_HMC_BLOCKS))
+        new_state = {}
 
-        # 1. HMC on the continuous GLM block
-        opt, frozen = _partition(params, _GLM_KEYS)
-
-        def logp_glm(o):
-            return pop.log_joint({**frozen, **o}, data)
-
-        h_glm = _fresh_block_state(state["glm"], opt, logp_glm(opt))
-        h_glm = hmc_adaptive_step(
-            k_glm, logp_glm, h_glm, n_steps=n_leapfrog,
-            target_accept=target_accept, adapt=adapt,
-        )
-        params = {**frozen, **h_glm.position}
-        new_state = {"params": params, "glm": h_glm}
-
-        # 2. HMC on continuous graph latents (e.g. locations)
-        if has_latent_block:
-            opt, frozen = _partition(params, _LATENT_KEYS)
-
-            def logp_lat(o):
+        # 1–2. HMC per continuous block (own ε and preconditioner each)
+        for (name, keys), k_b in zip(_HMC_BLOCKS, block_keys):
+            if name not in state:
+                continue
+            opt, frozen = _partition(params, keys)
+            if name == "latent":
                 # Likelihood doesn't touch the latents; the graph prior does.
-                return pop.graph.log_prior({**frozen, **o})
+                def logp(o, frozen=frozen):
+                    return pop.graph.log_prior({**frozen, **o})
+            else:
+                def logp(o, frozen=frozen):
+                    return pop.log_joint({**frozen, **o}, data)
 
-            h_lat = _fresh_block_state(state["latent"], opt, logp_lat(opt))
-            h_lat = hmc_adaptive_step(
-                k_lat, logp_lat, h_lat, n_steps=n_leapfrog,
+            h = _fresh_block_state(state[name], opt, logp(opt))
+            h = hmc_adaptive_step(
+                k_b, logp, h, n_steps=n_leapfrog,
                 target_accept=target_accept, adapt=adapt,
             )
-            params = {**frozen, **h_lat.position}
-            new_state["latent"] = h_lat
+            params = {**frozen, **h.position}
+            new_state[name] = h
 
         # 3–5. discrete machinery + conjugate hypers
         params = update_weight_hypers(k_wh, pop, params)
@@ -323,11 +326,9 @@ def gibbs_sample(
             callback("sample", it_global, state)
 
     samples = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *host_chunks)
-    diagnostics = {
-        "accept_rate_glm": float(state["glm"].accept_rate),
-        "step_size_glm": float(state["glm"].step_size),
-    }
-    if "latent" in state:
-        diagnostics["accept_rate_latent"] = float(state["latent"].accept_rate)
-        diagnostics["step_size_latent"] = float(state["latent"].step_size)
+    diagnostics = {}
+    for name, _ in _HMC_BLOCKS:
+        if name in state:
+            diagnostics[f"accept_rate_{name}"] = float(state[name].accept_rate)
+            diagnostics[f"step_size_{name}"] = float(state[name].step_size)
     return samples, diagnostics, state

@@ -122,11 +122,9 @@ def gibbs_sample_chains(
     host_chunks = run_phase(k_samp, n_samples * thin, jnp.asarray(False), True)
 
     samples = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *host_chunks)
-    diagnostics = {
-        "accept_rate_glm": np.asarray(states["glm"].accept_rate),
-        "step_size_glm": np.asarray(states["glm"].step_size),
-        "convergence": summarize_chains(samples),
-    }
-    if "latent" in states:
-        diagnostics["accept_rate_latent"] = np.asarray(states["latent"].accept_rate)
+    diagnostics = {"convergence": summarize_chains(samples)}
+    for name in ("glm", "imp", "latent"):
+        if name in states:
+            diagnostics[f"accept_rate_{name}"] = np.asarray(states[name].accept_rate)
+            diagnostics[f"step_size_{name}"] = np.asarray(states[name].step_size)
     return samples, diagnostics, states
