@@ -58,6 +58,15 @@ def main():
     )
     data = pop.prepare_data(S, stim=stim)
 
+    # MAP-start the chains (jittered): prior-draw inits leave long warmup
+    # transients that can poison a chain's adaptation window.
+    from theano_pyglm_tpu.inference import map_fit
+    from theano_pyglm_tpu.inference.smart_init import smart_initialize
+
+    t0 = time.time()
+    init, map_logp, _ = map_fit(pop, data, smart_initialize(pop, data))
+    print(f"MAP init: log-joint {float(map_logp):.1f} in {time.time()-t0:.1f}s", flush=True)
+
     mesh = chain_mesh() if len(jax.devices()) > 1 else None
     t0 = time.time()
     samples, diag, _ = gibbs_sample_chains(
@@ -70,6 +79,8 @@ def main():
         thin=args.thin,
         chunk_size=500,
         mesh=mesh,
+        init_params=init,
+        init_jitter=0.05,
         callback=lambda ph, it, st: print(
             f"  {ph} {it} @ {time.time()-t0:.0f}s", flush=True
         ),

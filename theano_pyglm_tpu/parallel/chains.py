@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from theano_pyglm_tpu.inference.mcmc import (
+    _GLM_KEYS,
     adapt_boundary,
     init_mcmc_state,
     make_sweep,
@@ -58,6 +59,7 @@ def gibbs_sample_chains(
     target_accept: float = 0.9,
     mesh: Optional[Mesh] = None,
     callback=None,
+    init_jitter: float = 0.0,
 ):
     """Run ``n_chains`` independent Gibbs/HMC chains, sharded over ``mesh``.
 
@@ -82,10 +84,21 @@ def gibbs_sample_chains(
     if init_params is None:
         init_stack = jax.vmap(pop.sample)(chain_keys[:n_chains])
     else:
-        # broadcast one init to all chains
+        # broadcast one init (e.g. a MAP fit) to all chains, with optional
+        # per-chain jitter on the smooth leaves — starting chains near the
+        # typical set makes warmup adaptation far more reliable than prior
+        # draws (a bad transient poisons the variance window).
         init_stack = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), init_params
         )
+        if init_jitter > 0:
+            jit_keys = jax.random.split(chain_keys[0], len(_GLM_KEYS) + 2)
+            for k_name, kk in zip(list(_GLM_KEYS) + ["locs", "W"], jit_keys):
+                if k_name in init_stack:
+                    x = init_stack[k_name]
+                    init_stack[k_name] = x + init_jitter * jax.random.normal(
+                        kk, x.shape, x.dtype
+                    )
     states = jax.vmap(lambda p: init_mcmc_state(pop, p, step_size=step_size))(init_stack)
 
     if mesh is not None:
