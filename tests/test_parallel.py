@@ -98,3 +98,19 @@ def test_parallel_map_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(fit8["bias"]), np.asarray(fit1["bias"]), atol=2e-3
     )
+
+
+def test_chain_init_jitter_decorrelates():
+    """MAP-broadcast init with jitter must give distinct chains (identical
+    inits defeat split-R̂'s purpose)."""
+    spec = make_model("sparse_weighted_model", 3, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 300)
+    data = pop.prepare_data(S)
+    samples, _, _ = gibbs_sample_chains(
+        pop, data, jax.random.PRNGKey(2), n_chains=3, n_samples=5, n_warmup=5,
+        chunk_size=5, init_params=true, init_jitter=0.05,
+    )
+    first = samples["bias"][0]  # (3, N) first draw per chain
+    assert np.std(first, axis=0).max() > 1e-4

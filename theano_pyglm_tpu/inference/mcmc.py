@@ -2,18 +2,22 @@
 
 Rebuild of ``pyglm/inference/gibbs.py``'s outer loop (SURVEY.md §3.3): each
 iteration interleaves
-  1. HMC over the continuous GLM block (bias, stimulus, impulse weights, W),
-  2. HMC over continuous graph latents (locations, for the distance model),
-  3. prior refresh of disconnected weights (exact conditional),
-  4. the row-parallel collapsed-Gibbs sweep over the adjacency matrix,
-  5. discrete Gibbs over SBM types + conjugate Beta/Dirichlet hyper updates
+  1. HMC per continuous block — (bias, stimulus gains), (impulse logits),
+     (latent locations) — each with its own dual-averaged step size and
+     Welford diagonal preconditioner (the reference likewise updates each
+     component group separately),
+  2. conjugate weight-hyperparameter resampling + prior refresh of
+     disconnected weights (exact conditionals),
+  3. the row-parallel joint (A, W) birth–death sweep over the adjacency
+     matrix (W is owned by this move, not HMC — see _HMC_BLOCKS),
+  4. discrete Gibbs over SBM types + conjugate Beta/Dirichlet hyper updates
      (or the conjugate Erdős–Rényi density update).
 
 Where the reference's loop is a Python ``for`` over compiled Theano thunks
 with periodic pickle dumps, here the whole sweep is ONE jitted function and
 iterations run device-side in ``lax.scan`` chunks; thinned samples stream
-back to host numpy per chunk (bounded HBM), and step sizes adapt during
-warmup only (Robbins–Monro, shared compiled path via a traced ``adapt`` flag).
+back to host numpy per chunk (bounded HBM). Warmup follows Stan-style
+expanding adaptation windows (see :func:`warmup_schedule`).
 """
 
 from __future__ import annotations
