@@ -169,7 +169,11 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
         block_keys = jax.random.split(k_blocks, len(_HMC_BLOCKS))
         new_state = {}
 
-        # 1–2. HMC per continuous block (own ε and preconditioner each)
+        # 1–2. HMC per continuous block (own ε and preconditioner each).
+        # Each block's log-density drops terms constant within the block and
+        # hoists the OTHER blocks' currents out of the leapfrog: the glm
+        # block (bias/stimulus) never re-reads the big spike design tensor,
+        # so its 2L gradient evals cost only a small matmul + Poisson reduce.
         for (name, keys), k_b in zip(_HMC_BLOCKS, block_keys):
             if name not in state:
                 continue
@@ -178,9 +182,22 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
                 # Likelihood doesn't touch the latents; the graph prior does.
                 def logp(o, frozen=frozen):
                     return pop.graph.log_prior({**frozen, **o})
-            else:
+            elif name == "glm":
+                d_g = dict(data)
+                d_g["_G"] = pop.coupling(params)
+                I_coupling = pop.impulse.current(params, d_g)
+
+                def logp(o, frozen=frozen, I_coupling=I_coupling):
+                    p = {**frozen, **o}
+                    I = pop.bias.current(p, data) + pop.bkgd.current(p, data) + I_coupling
+                    ll = jnp.sum(
+                        pop.observation.log_likelihood(data["S"], I, pop.nlin, pop.dt)
+                    )
+                    return ll + pop.bias.log_prior(p) + pop.bkgd.log_prior(p)
+            else:  # 'imp' — needs the coupling contraction, use the full LL
                 def logp(o, frozen=frozen):
-                    return pop.log_joint({**frozen, **o}, data)
+                    p = {**frozen, **o}
+                    return pop.log_likelihood(p, data) + pop.impulse.log_prior(p)
 
             h = _fresh_block_state(state[name], opt, logp(opt))
             h = hmc_adaptive_step(
