@@ -133,3 +133,21 @@ def test_geweke_distance_model():
     p_off = float((1 / (1 + np.exp(-(1.0 - d2)))).mean())
     off = ~np.eye(N, dtype=bool)
     assert abs(A[:, off].mean() - p_off) < 0.08, (A[:, off].mean(), p_off)
+
+
+@pytest.mark.slow
+def test_geweke_weight_hypers():
+    """NIG weight-hyper conjugate updates inside the full sweep must preserve
+    the hyperprior: σ² ~ InvGamma(2, 2) (mean 2), μ | σ² ~ N(0, σ²)."""
+    N, T = 2, 50
+    spec = make_model("sparse_weighted_model", N, bkgd={"type": "none"})
+    spec["network"]["weight"]["infer_hypers"] = True
+    pop = Population(spec)
+    samples = _geweke_chain(pop, T, 2500, jax.random.PRNGKey(9))
+    burn = 500
+    var = np.asarray(samples["W_sigma"])[burn:] ** 2
+    mu = np.asarray(samples["W_mu"])[burn:]
+    # InvGamma(2,2): mean 2 (variance infinite — compare median instead):
+    # median = b0 / qgamma(0.5, a0) ≈ 2 / 1.678 ≈ 1.19
+    assert abs(np.median(var) - 1.19) < 0.5, np.median(var)
+    assert abs(mu.mean()) < 0.4, mu.mean()

@@ -135,3 +135,27 @@ def test_windowed_mass_adaptation_runs():
     assert np.all(np.isfinite(samples["W"]))
     sc = np.asarray(states["glm"].scale["bias"])
     assert sc.shape[0] == 3 and not np.allclose(sc, 1.0)
+
+
+def test_mcmc_softplus_nlin():
+    """Softplus nonlinearity exercises the generic (autodiff) paths in both
+    the likelihood and the birth-death update."""
+    pop, samples, diag = _run("sparse_weighted_model", 3, nlin={"type": "softplus"})
+    assert np.all(np.isfinite(samples["W"]))
+    assert 0.05 < diag["accept_rate_glm"] <= 1.0
+
+
+def test_mcmc_spatiotemporal_stimulus():
+    spec = make_model("spatiotemporal_glm", 2)
+    spec["bkgd"]["D_stim"] = 4
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    stim = rng.randn(300, 4)
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 300, stim=stim)
+    data = pop.prepare_data(S, stim=stim)
+    samples, diag, _ = gibbs_sample(
+        pop, data, jax.random.PRNGKey(2), n_samples=10, n_warmup=10, chunk_size=10
+    )
+    assert samples["w_stim_s"].shape == (10, 2, 4)
+    assert samples["w_stim_t"].shape[0] == 10
