@@ -189,9 +189,22 @@ def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
                         E_wo * jnp.expm1(jnp.clip(w * psi_m, -40.0, 40.0))
                     )
 
+                # The Newton iterations only shape the PROPOSAL, so they run
+                # on a contiguous time window (the MH ratio below uses the
+                # exact full-T ΔLL) — the sweep is HBM-bandwidth-bound and
+                # this cuts the dominant per-entry traffic ~2×.
+                T_full = psi_m.shape[0]
+                T_sub = min(T_full, 16384)
+                scale_sub = T_full / T_sub
+                psi_s, E_s, S_s = psi_m[:T_sub], E_wo[:T_sub], S_n[:T_sub]
+                a_sub = (S_s @ psi_s) * scale_sub
+
                 def dll_grad_hess(w):
-                    u = E_wo * jnp.exp(jnp.clip(w * psi_m, -40.0, 40.0))
-                    return a_stat - dt * (u @ psi_m), -dt * (u @ (psi_m * psi_m))
+                    u = E_s * jnp.exp(jnp.clip(w * psi_s, -40.0, 40.0))
+                    return (
+                        a_sub - dt * scale_sub * (u @ psi_s),
+                        -dt * scale_sub * (u @ (psi_s * psi_s)),
+                    )
 
             else:
 
