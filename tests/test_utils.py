@@ -139,3 +139,20 @@ def test_spec_validation_errors():
         Population(spec)
     with _pytest.raises(ValueError, match="positive int"):
         Population({"N": -3})
+
+
+def test_bin_spikes_native_matches_numpy(rng):
+    from theano_pyglm_tpu.utils.binning import bin_spikes, native_available
+
+    n_ev, T, N, dt = 5000, 1000, 7, 1e-3
+    times = rng.rand(n_ev) * T * dt * 1.1  # some events past the end
+    neurons = rng.randint(-1, N + 1, n_ev)  # some out-of-range ids
+    ref = bin_spikes(times, neurons, T, dt, N, use_native=False)
+    assert ref.sum() < n_ev  # out-of-range events dropped
+    if native_available():
+        fast = bin_spikes(times, neurons, T, dt, N, use_native=True)
+        np.testing.assert_array_equal(fast, ref)
+    else:
+        import pytest as _pytest
+
+        _pytest.skip("no C toolchain")

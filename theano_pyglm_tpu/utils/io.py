@@ -39,11 +39,24 @@ def parse_cmd_line_args(argv=None, description: str = "theano_pyglm_tpu harness"
 
 
 def load_data(path: str) -> dict:
-    """Load a data dict with keys S (T,N), dt, and optionally stim/stim_dt."""
+    """Load a data dict with keys S (T,N), dt, and optionally stim/stim_dt.
+
+    Event-format files (keys ``spike_times``/``spike_neurons`` + ``dt``,
+    ``T_sec``, ``N``) are binned on load through the native C fast path
+    (utils/binning.py)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npz":
         with np.load(path, allow_pickle=True) as f:
-            return {k: f[k] if f[k].shape else f[k].item() for k in f.files}
+            out = {k: f[k] if f[k].shape else f[k].item() for k in f.files}
+        if "S" not in out and "spike_times" in out:
+            from theano_pyglm_tpu.utils.binning import bin_spikes
+
+            dt = float(out.get("dt", 1e-3))
+            T = int(round(float(out["T_sec"]) / dt))
+            out["S"] = bin_spikes(
+                out["spike_times"], out["spike_neurons"], T, dt, int(out["N"])
+            )
+        return out
     if ext in (".pkl", ".pickle"):
         with open(path, "rb") as f:
             return pickle.load(f)
