@@ -151,3 +151,38 @@ def test_geweke_weight_hypers():
     # median = b0 / qgamma(0.5, a0) ≈ 2 / 1.678 ≈ 1.19
     assert abs(np.median(var) - 1.19) < 0.5, np.median(var)
     assert abs(mu.mean()) < 0.4, mu.mean()
+
+
+@pytest.mark.slow
+def test_geweke_with_stimulus_whitening():
+    """The whitened-coordinate HMC substitution for w_stim must leave the
+    posterior untouched — the successive-conditional chain with a stimulus
+    component must still preserve the prior N(0, 0.5) on w_stim."""
+    N, T = 2, 60
+    spec = make_model("sparse_weighted_model", N)
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    stim = jnp.asarray(rng.randn(T, 1))
+
+    def joint_step(carry, k):
+        state, params = carry
+        k1, k2 = jax.random.split(k)
+        S, _ = pop.simulate(k1, params, T, stim=stim)
+        data = pop.prepare_data(S, stim=stim)
+        sweep = make_sweep(pop, data, n_leapfrog=5)
+        state = dict(state)
+        state["params"] = params
+        state = sweep(k2, state, jnp.asarray(False))
+        return (state, state["params"]), state["params"]
+
+    state = init_mcmc_state(pop, params, step_size=0.05)
+    keys = jax.random.split(jax.random.PRNGKey(11), 2000)
+    (_, _), samples = jax.jit(
+        lambda carry, ks: jax.lax.scan(joint_step, carry, ks)
+    )((state, params), keys)
+    w = np.asarray(samples["w_stim"])[400:]
+    n = w.shape[0]
+    se = 0.5 / np.sqrt(n / 10)
+    assert abs(w.mean()) < 5 * se, w.mean()
+    assert abs(w.std() - 0.5) < 0.08, w.std()

@@ -163,6 +163,31 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
     Returns ``sweep(key, state, adapt) -> state`` with ``adapt`` a traced
     bool enabling step-size adaptation (warmup).
     """
+    # Whitening substitution for the stimulus weights: overlapping basis
+    # columns make X_stim's columns strongly correlated, which a diagonal
+    # preconditioner cannot fix. The glm block therefore samples
+    # w̃ = w_stim Rᵀ where R = chol(XᵀX/T + λI): the whitened design has
+    # near-isotropic curvature. Exact change of variables with constant
+    # Jacobian (drops from MH ratios); the model/prior are untouched — only
+    # the HMC coordinates change.
+    R_inv_T = None
+    if "X_stim" in data:
+        X = data["X_stim"]
+        gram = (X.T @ X) / X.shape[0] + 1e-6 * jnp.eye(X.shape[1], dtype=X.dtype)
+        R = jnp.linalg.cholesky(gram)
+        R_inv_T = jnp.linalg.inv(R).T  # w = w̃ @ R_inv_T ; w̃ = w @ R.T
+        R_T = R.T
+
+    def _whiten(opt):
+        if R_inv_T is not None and "w_stim" in opt:
+            opt = {**opt, "w_stim": opt["w_stim"] @ R_T}
+        return opt
+
+    def _dewhiten(opt):
+        if R_inv_T is not None and "w_stim" in opt:
+            opt = {**opt, "w_stim": opt["w_stim"] @ R_inv_T}
+        return opt
+
     def sweep(key, state, adapt):
         params = state["params"]
         k_blocks, k_wh, k_w, k_a, k_y, k_hyp = jax.random.split(key, 6)
@@ -186,9 +211,10 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
                 d_g = dict(data)
                 d_g["_G"] = pop.coupling(params)
                 I_coupling = pop.impulse.current(params, d_g)
+                opt = _whiten(opt)
 
                 def logp(o, frozen=frozen, I_coupling=I_coupling):
-                    p = {**frozen, **o}
+                    p = {**frozen, **_dewhiten(o)}
                     I = pop.bias.current(p, data) + pop.bkgd.current(p, data) + I_coupling
                     ll = jnp.sum(
                         pop.observation.log_likelihood(data["S"], I, pop.nlin, pop.dt)
@@ -204,7 +230,8 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
                 k_b, logp, h, n_steps=n_leapfrog,
                 target_accept=target_accept, adapt=adapt,
             )
-            params = {**frozen, **h.position}
+            out = _dewhiten(h.position) if name == "glm" else h.position
+            params = {**frozen, **out}
             new_state[name] = h
 
         # 3–5. discrete machinery + conjugate hypers
