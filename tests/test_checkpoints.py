@@ -57,3 +57,58 @@ def test_gibbs_resume_continues_exactly(tmp_path):
     )
     np.testing.assert_allclose(resumed["W"], full["W"], rtol=1e-12)
     np.testing.assert_array_equal(resumed["A"], full["A"])
+
+
+def test_gibbs_resume_unaligned_checkpoint_every(tmp_path):
+    """checkpoint_every ∤ chunk_size (advisor round-1 medium finding): sample
+    chunks between checkpoints must survive a resume — persistence is
+    decoupled from checkpoint cadence, and checkpoints fire on boundary
+    *crossings*, not exact modulo."""
+    from theano_pyglm_tpu.inference import gibbs_sample
+
+    spec = make_model("sparse_weighted_model", 2, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 200)
+    data = pop.prepare_data(S)
+    key = jax.random.PRNGKey(7)
+    kw = dict(n_warmup=10, chunk_size=10, init_params=true)
+
+    full, _, _ = gibbs_sample(pop, data, key, n_samples=40, **kw)
+
+    d = os.path.join(tmp_path, "ck")
+    # 20 sampling iters in two chunks; checkpoint_every=100 never hits an
+    # exact multiple mid-run — only the forced final checkpoint lands.
+    gibbs_sample(pop, data, key, n_samples=20, checkpoint_dir=d,
+                 checkpoint_every=100, **kw)
+    resumed, _, _ = gibbs_sample(
+        pop, data, key, n_samples=40, checkpoint_dir=d,
+        checkpoint_every=100, resume=True, **kw
+    )
+    assert resumed["W"].shape[0] == 40
+    np.testing.assert_allclose(resumed["W"], full["W"], rtol=1e-12)
+
+
+def test_chains_resume_continues_exactly(tmp_path):
+    """Multi-chain checkpoint/resume (round-1 gap): a chains run that stops
+    early and resumes must reproduce the uninterrupted sample stream."""
+    from theano_pyglm_tpu.parallel import gibbs_sample_chains
+
+    spec = make_model("sparse_weighted_model", 2, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 200)
+    data = pop.prepare_data(S)
+    key = jax.random.PRNGKey(11)
+    kw = dict(n_chains=2, n_warmup=10, chunk_size=10, init_params=true)
+
+    full, _, _ = gibbs_sample_chains(pop, data, key, n_samples=30, **kw)
+
+    d = os.path.join(tmp_path, "ckc")
+    gibbs_sample_chains(pop, data, key, n_samples=10, checkpoint_dir=d, **kw)
+    resumed, _, _ = gibbs_sample_chains(
+        pop, data, key, n_samples=30, checkpoint_dir=d, resume=True, **kw
+    )
+    assert resumed["W"].shape[:2] == (30, 2)
+    np.testing.assert_allclose(resumed["W"], full["W"], rtol=1e-12)
+    np.testing.assert_array_equal(resumed["A"], full["A"])

@@ -64,6 +64,40 @@ def test_mcmc_thinning():
     assert samples["W"].shape[0] == 10
 
 
+def test_mcmc_thinning_unaligned_chunks():
+    """thin ∤ chunk_size: retained draws must still be every thin-th draw of
+    the underlying stream (global phase carried across chunk boundaries)."""
+    spec = make_model("sparse_weighted_model", 2, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 200)
+    data = pop.prepare_data(S)
+    kw = dict(n_warmup=10, chunk_size=25, init_params=true)
+    # same chunk boundaries (25, 5) in both runs → identical key stream →
+    # identical underlying 30-draw sample stream.
+    full, _, _ = gibbs_sample(pop, data, jax.random.PRNGKey(2), n_samples=30, **kw)
+    thinned, _, _ = gibbs_sample(
+        pop, data, jax.random.PRNGKey(2), n_samples=10, thin=3, **kw
+    )
+    assert thinned["W"].shape[0] == 10
+    np.testing.assert_allclose(thinned["W"], full["W"][2::3], rtol=1e-12)
+
+
+def test_smart_init_preserves_fixed_A():
+    """Fixed-A graphs (complete) never update A downstream, so smart init
+    must not threshold it away (advisor round-1 high-severity finding)."""
+    from theano_pyglm_tpu.inference.smart_init import smart_initialize
+
+    spec = make_model("simple_weighted_model", 4, bkgd={"type": "none"})
+    pop = Population(spec)
+    assert pop.graph.fixed_A
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 300)
+    data = pop.prepare_data(S)
+    params = smart_initialize(pop, data)
+    np.testing.assert_allclose(np.asarray(params["A"]), 1.0)
+
+
 def test_predictive_log_likelihood():
     from theano_pyglm_tpu.inference.predictive import predictive_log_likelihood
 

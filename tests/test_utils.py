@@ -156,3 +156,23 @@ def test_bin_spikes_native_matches_numpy(rng):
         import pytest as _pytest
 
         _pytest.skip("no C toolchain")
+
+
+def test_bin_spikes_boundary_events_bit_identical(rng):
+    """Events exactly on bin boundaries: both paths must use the same
+    multiply-by-reciprocal expression (dt=1e-3 is inexact in binary, so
+    t/dt vs t*(1/dt) can land boundary events in adjacent bins)."""
+    from theano_pyglm_tpu.utils.binning import bin_spikes, native_available
+
+    T, N, dt = 1000, 3, 1e-3
+    # every exact bin edge, plus nextafter on either side
+    edges = np.arange(T) * dt
+    times = np.concatenate(
+        [edges, np.nextafter(edges, -1.0), np.nextafter(edges, 2.0)]
+    )
+    neurons = np.arange(times.shape[0]) % N
+    ref = bin_spikes(times, neurons, T, dt, N, use_native=False)
+    assert ref.sum() > 0
+    if native_available():
+        fast = bin_spikes(times, neurons, T, dt, N, use_native=True)
+        np.testing.assert_array_equal(fast, ref)

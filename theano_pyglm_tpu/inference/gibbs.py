@@ -117,7 +117,9 @@ def update_adjacency(key, pop, params, data):
     return {**params, "A": A_new}
 
 
-def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
+def update_adjacency_collapsed(
+    key, pop, params, data, n_newton: int = 8, return_accept: bool = False
+):
     """Joint (A[n,m], W[n,m]) birth–death update — the mixing-correct
     counterpart of the reference's *collapsed* adjacency Gibbs (SURVEY.md §2
     "MCMC: Gibbs loop": "for Gaussian weights the W can be marginalized").
@@ -142,9 +144,10 @@ def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
     rows update in parallel (vmap) exactly as in :func:`update_adjacency`.
     """
     if pop.graph.fixed_A:
-        return params
+        return (params, jnp.asarray(1.0)) if return_accept else params
     if not pop.weights.has_W:
-        return update_adjacency(key, pop, params, data)
+        out = update_adjacency(key, pop, params, data)
+        return (out, jnp.asarray(1.0)) if return_accept else out
 
     S, dt, nlin, obs = data["S"], pop.dt, pop.nlin, pop.observation
     N = pop.N
@@ -190,13 +193,28 @@ def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
                     )
 
                 # The Newton iterations only shape the PROPOSAL, so they run
-                # on a contiguous time window (the MH ratio below uses the
-                # exact full-T ΔLL) — the sweep is HBM-bandwidth-bound and
-                # this cuts the dominant per-entry traffic ~2×.
+                # on a time subsample (the MH ratio below uses the exact
+                # full-T ΔLL) — the sweep is HBM-bandwidth-bound and this
+                # cuts the dominant per-entry traffic ~2×. The subsample is
+                # STRATIFIED: contiguous blocks spread evenly over [0, T)
+                # (contiguous for HBM streaming, spread so a nonstationary
+                # stimulus can't systematically bias the Laplace fit the way
+                # a prefix window can).
                 T_full = psi_m.shape[0]
                 T_sub = min(T_full, 16384)
                 scale_sub = T_full / T_sub
-                psi_s, E_s, S_s = psi_m[:T_sub], E_wo[:T_sub], S_n[:T_sub]
+                if T_sub == T_full:
+                    psi_s, E_s, S_s = psi_m, E_wo, S_n
+                else:
+                    blk = 2048
+                    n_blk = T_sub // blk
+                    offs = [
+                        int(round(j * (T_full - blk) / max(n_blk - 1, 1)))
+                        for j in range(n_blk)
+                    ]
+                    psi_s = jnp.concatenate([psi_m[o : o + blk] for o in offs])
+                    E_s = jnp.concatenate([E_wo[o : o + blk] for o in offs])
+                    S_s = jnp.concatenate([S_n[o : o + blk] for o in offs])
                 a_sub = (S_s @ psi_s) * scale_sub
 
                 def dll_grad_hess(w):
@@ -228,8 +246,13 @@ def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
                 d1, d2 = dll_grad_hess(w)
                 return d1 - (w - mu) / (sig * sig), d2 - 1.0 / (sig * sig)
 
-            # Newton from the current weight (connected) or the prior mean.
-            w0 = jnp.where(A_n[m] > 0, W_n[m], mu)
+            # Newton from the prior mean — a STATE-INDEPENDENT seed, so the
+            # proposal is a genuine independence proposal and the MH ratio
+            # below is exact (seeding from the current weight would make
+            # q(x'|x) ≠ q(x'), a residual approximation detailed balance
+            # can't absorb). Log-concave targets converge from mu in the
+            # n_newton damped steps regardless.
+            w0 = mu
 
             def newton(w, _):
                 d1, d2 = g_grad_hess(w)
@@ -296,7 +319,10 @@ def update_adjacency_collapsed(key, pop, params, data, n_newton: int = 8):
         SIG,
         logit_prior,
     )
-    return {**params, "A": A_new, "W": W_new}
+    out = {**params, "A": A_new, "W": W_new}
+    if return_accept:
+        return out, jnp.mean(acc)
+    return out
 
 
 def refresh_disconnected_weights(key, pop, params):

@@ -190,7 +190,7 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
 
     def sweep(key, state, adapt):
         params = state["params"]
-        k_blocks, k_wh, k_w, k_a, k_y, k_hyp = jax.random.split(key, 6)
+        k_blocks, k_wh, k_w, k_a, k_y, k_hyp, k_rho = jax.random.split(key, 7)
         block_keys = jax.random.split(k_blocks, len(_HMC_BLOCKS))
         new_state = {}
 
@@ -240,12 +240,27 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
         params = update_adjacency_collapsed(k_a, pop, params, data)
         params = update_sbm_types(k_y, pop, params)
         params = update_sbm_hypers(k_hyp, pop, params)
-        params = update_er_rho(k_hyp, pop, params)
+        params = update_er_rho(k_rho, pop, params)
 
         new_state["params"] = params
         return new_state
 
     return sweep
+
+
+def thin_chunk(samples, thin: int, phase: int):
+    """Slice one host chunk onto the *global* thinning grid.
+
+    ``phase`` = sampling iterations completed before this chunk. Keeping
+    index i of the chunk iff (phase + i) % thin == thin-1 makes retained
+    draws exactly ``thin`` apart across chunk boundaries, for any
+    chunk_size/thin combination (the per-chunk ``x[thin-1::thin]`` restarts
+    the stride at every boundary and mis-counts when thin ∤ chunk_size).
+    """
+    if thin <= 1:
+        return samples
+    start = (thin - 1 - phase) % thin
+    return jax.tree.map(lambda x: x[start::thin], samples)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 5))
@@ -321,24 +336,43 @@ def gibbs_sample(
         step = latest_step(checkpoint_dir)
         if step is not None:
             state, k_run, it_global = *restore_checkpoint(checkpoint_dir, step, template=state)[:2], step
+            # Only chunks at or before the restored step count: anything
+            # later was produced past the last checkpoint and will be
+            # regenerated (deterministically, same key stream) by the loop.
             for f in sorted(os.listdir(checkpoint_dir)):
                 if f.startswith("samples_") and f.endswith(".npz"):
+                    if int(f[len("samples_"):-len(".npz")]) > step:
+                        continue
                     with np.load(os.path.join(checkpoint_dir, f)) as z:
                         host_chunks.append({k: z[k] for k in z.files})
 
-    def maybe_checkpoint(it_global, samples_chunk):
+    def persist_samples(it_global, samples_chunk):
+        """Every sampling chunk is persisted (sample persistence is decoupled
+        from checkpoint cadence — otherwise chunks between checkpoints exist
+        only in host memory and a resume silently drops them)."""
+        if checkpoint_dir is None or samples_chunk is None:
+            return
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(checkpoint_dir, f"samples_{it_global:09d}.npz"),
+            **samples_chunk,
+        )
+
+    def maybe_checkpoint(prev_it, it_global):
         if checkpoint_dir is None:
             return
-        if checkpoint_every and (it_global % checkpoint_every) and it_global < n_warmup + total:
+        # Checkpoint when a checkpoint_every boundary was *crossed* this chunk
+        # (exact modulo never fires when checkpoint_every ∤ chunk_size), and
+        # always at the very end.
+        if (
+            checkpoint_every
+            and (prev_it // checkpoint_every == it_global // checkpoint_every)
+            and it_global < n_warmup + total
+        ):
             return
         from theano_pyglm_tpu.utils.checkpoints import save_checkpoint
 
         os.makedirs(checkpoint_dir, exist_ok=True)
-        if samples_chunk is not None:
-            np.savez_compressed(
-                os.path.join(checkpoint_dir, f"samples_{it_global:09d}.npz"),
-                **samples_chunk,
-            )
         save_checkpoint(checkpoint_dir, it_global, state, k_run)
 
     # --- warmup (no collection), with Stan-style adaptation windows
@@ -355,7 +389,7 @@ def gibbs_sample(
         for b, action in boundaries:
             if prev_it < b <= it_global:
                 state = adapt_boundary(state, action)
-        maybe_checkpoint(it_global, None)
+        maybe_checkpoint(prev_it, it_global)
         if callback is not None:
             callback("warmup", it_global, state)
 
@@ -363,13 +397,14 @@ def gibbs_sample(
     while it_global < n_warmup + total:
         n = min(chunk_size, n_warmup + total - it_global)
         k_run, k = jax.random.split(k_run)
+        prev_it = it_global
         state, samples = _run_chunk(sweep, n, k, state, jnp.asarray(False), 1)
         samples = jax.tree.map(np.asarray, samples)
-        if thin > 1:
-            samples = jax.tree.map(lambda x: x[thin - 1 :: thin], samples)
+        samples = thin_chunk(samples, thin, it_global - n_warmup)
         host_chunks.append(samples)
         it_global += n
-        maybe_checkpoint(it_global, samples)
+        persist_samples(it_global, samples)
+        maybe_checkpoint(prev_it, it_global)
         if callback is not None:
             callback("sample", it_global, state)
 

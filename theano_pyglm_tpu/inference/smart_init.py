@@ -62,8 +62,12 @@ def smart_initialize(pop, data, key=None) -> dict:
     if "W" in params:
         scale = 1.0 / jnp.maximum(jnp.abs(xc).max(), 1e-6)
         params["W"] = xc * scale
-        thresh = jnp.percentile(jnp.abs(xc), 75.0)
-        params["A"] = (jnp.abs(xc) >= thresh).astype(params["A"].dtype)
+        if not pop.graph.fixed_A:
+            # Only seed A for graph models that infer it. Fixed-A graphs
+            # (complete) never update A downstream — thresholding here would
+            # silently and permanently sever ~75% of edges.
+            thresh = jnp.percentile(jnp.abs(xc), 75.0)
+            params["A"] = (jnp.abs(xc) >= thresh).astype(params["A"].dtype)
     elif pop.impulse.name == "impulse" and "w_ir" in params:
         # constant-weight models: put the correlation structure into the
         # impulse weights' overall scale (first basis column).

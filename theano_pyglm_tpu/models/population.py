@@ -218,24 +218,11 @@ class Population:
             return True
         return jax.default_backend() == "tpu"
 
-    @staticmethod
-    def _is_batch_traced(*xs) -> bool:
-        """True under vmap (e.g. chain batching) — the fused Pallas kernel's
-        scalar SMEM output doesn't auto-batch, so those calls take the XLA
-        path (which vmaps fine and shares the X_imp stream across chains)."""
-        try:
-            from jax._src.interpreters.batching import BatchTracer
-
-            return any(isinstance(x, BatchTracer) for x in xs)
-        except Exception:
-            return True
-
     def log_likelihood(self, params, data) -> jax.Array:
-        if (
-            self._pallas_active()
-            and "X_imp" in data
-            and not self._is_batch_traced(params.get("bias"), data["S"])
-        ):
+        # The fused op is vmap-safe: a chain-vmapped call routes to the
+        # chain-batched Pallas kernels (custom_vmap rule in ops.pallas_kernels)
+        # which share the X_imp stream across chains.
+        if self._pallas_active() and "X_imp" in data:
             from theano_pyglm_tpu.ops.pallas_kernels import fused_poisson_ll
 
             T = data["S"].shape[0]

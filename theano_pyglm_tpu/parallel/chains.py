@@ -24,6 +24,7 @@ from theano_pyglm_tpu.inference.mcmc import (
     adapt_boundary,
     init_mcmc_state,
     make_sweep,
+    thin_chunk,
     warmup_schedule,
 )
 from theano_pyglm_tpu.utils.diagnostics import summarize_chains
@@ -60,13 +61,25 @@ def gibbs_sample_chains(
     mesh: Optional[Mesh] = None,
     callback=None,
     init_jitter: float = 0.0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """Run ``n_chains`` independent Gibbs/HMC chains, sharded over ``mesh``.
 
     Returns (samples, diagnostics, states): samples is a dict of numpy arrays
     shaped (n_samples, n_chains, ...); diagnostics includes per-leaf split-R̂
     and ESS (utils.diagnostics) plus per-chain accept rates.
+
+    Checkpointing mirrors :func:`inference.mcmc.gibbs_sample`: with
+    ``checkpoint_dir`` set, the full chain-batched sampler state (params +
+    HMC adaptation per chain + PRNG + global iteration) is saved whenever a
+    ``checkpoint_every`` boundary is crossed (0 ⇒ every chunk), every
+    sampling chunk's thinned draws are persisted, and ``resume=True``
+    continues exactly where the previous run stopped.
     """
+    import os
+
     if n_warmup is None:
         n_warmup = max(100, n_samples // 5)
 
@@ -107,11 +120,56 @@ def gibbs_sample_chains(
         data = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), data)
 
     k_warm, k_samp = jax.random.split(chain_keys[-1])
+    total_sampling = n_samples * thin
+    it_global = 0  # warmup iters count 0..n_warmup, then sampling continues
+    host_chunks = []
 
-    def run_phase(k_base, total, adapt, collect, boundaries=()):
-        nonlocal states
-        host_chunks = []
-        it = 0
+    if resume and checkpoint_dir is not None:
+        from theano_pyglm_tpu.utils.checkpoints import latest_step, restore_checkpoint
+
+        step = latest_step(checkpoint_dir)
+        if step is not None:
+            restored, k_restored, _ = restore_checkpoint(checkpoint_dir, step, template=states)
+            states, it_global = restored, step
+            if it_global < n_warmup:
+                k_warm = k_restored
+            else:
+                k_samp = k_restored
+            if mesh is not None:
+                chain_sh = NamedSharding(mesh, P("chains"))
+                states = jax.tree.map(lambda x: jax.device_put(x, chain_sh), states)
+            for f in sorted(os.listdir(checkpoint_dir)):
+                if f.startswith("samples_") and f.endswith(".npz"):
+                    if int(f[len("samples_"):-len(".npz")]) > step:
+                        continue
+                    with np.load(os.path.join(checkpoint_dir, f)) as z:
+                        host_chunks.append({k: z[k] for k in z.files})
+
+    def persist_samples(it_g, samples_chunk):
+        if checkpoint_dir is None or samples_chunk is None:
+            return
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(checkpoint_dir, f"samples_{it_g:09d}.npz"), **samples_chunk
+        )
+
+    def maybe_checkpoint(prev_it, it_g, k_base):
+        if checkpoint_dir is None:
+            return
+        if (
+            checkpoint_every
+            and (prev_it // checkpoint_every == it_g // checkpoint_every)
+            and it_g < n_warmup + total_sampling
+        ):
+            return
+        from theano_pyglm_tpu.utils.checkpoints import save_checkpoint
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        save_checkpoint(checkpoint_dir, it_g, states, k_base)
+
+    def run_phase(k_base, phase_start, total, adapt, collect, boundaries=()):
+        nonlocal states, it_global
+        it = it_global - phase_start
         while it < total:
             next_stop = min([total] + [b for b, _ in boundaries if b > it])
             n = min(chunk_size, next_stop - it)
@@ -123,16 +181,19 @@ def gibbs_sample_chains(
                     states = adapt_boundary(states, action)
             if collect:
                 samples = jax.tree.map(np.asarray, samples)
-                if thin > 1:
-                    samples = jax.tree.map(lambda x: x[thin - 1 :: thin], samples)
+                samples = thin_chunk(samples, thin, prev_it)
                 host_chunks.append(samples)
             it += n
+            it_global = phase_start + it
+            if collect:
+                persist_samples(it_global, samples)
+            maybe_checkpoint(phase_start + prev_it, it_global, k_base)
             if callback is not None:
                 callback("sample" if collect else "warmup", it, states)
-        return host_chunks
 
-    run_phase(k_warm, n_warmup, jnp.asarray(True), False, warmup_schedule(n_warmup))
-    host_chunks = run_phase(k_samp, n_samples * thin, jnp.asarray(False), True)
+    if it_global < n_warmup:
+        run_phase(k_warm, 0, n_warmup, jnp.asarray(True), False, warmup_schedule(n_warmup))
+    run_phase(k_samp, n_warmup, total_sampling, jnp.asarray(False), True)
 
     samples = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *host_chunks)
     diagnostics = {"convergence": summarize_chains(samples)}

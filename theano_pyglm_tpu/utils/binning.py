@@ -63,7 +63,11 @@ def native_available() -> bool:
 
 def _bin_numpy(times, neurons, T, dt, N):
     out = np.zeros((T, N), dtype=np.float32)
-    t = (times / dt).astype(np.int64)
+    # Same expression as the C kernel (times * (1/dt), truncating cast) —
+    # multiply-by-reciprocal vs divide can round boundary events into
+    # adjacent bins, so both paths must use the identical form for the
+    # bit-identical guarantee to hold.
+    t = (times * (1.0 / dt)).astype(np.int64)
     ok = (t >= 0) & (t < T) & (neurons >= 0) & (neurons < N)
     np.add.at(out, (t[ok], neurons[ok].astype(np.int64)), 1.0)
     return out

@@ -10,7 +10,36 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["split_rhat", "ess", "summarize_chains"]
+__all__ = ["split_rhat", "ess", "summarize_chains", "adjusted_rand_index"]
+
+
+def adjusted_rand_index(labels_a, labels_b) -> float:
+    """Adjusted Rand index between two partitions (label-permutation
+    invariant, 1.0 = identical up to relabeling, ~0 = chance). Used to score
+    SBM type recovery against a planted partition (acceptance config 4)."""
+    a = np.asarray(labels_a).ravel()
+    b = np.asarray(labels_b).ravel()
+    if a.shape != b.shape:
+        raise ValueError("partitions must have equal length")
+    n = a.shape[0]
+    ua, ia = np.unique(a, return_inverse=True)
+    ub, ib = np.unique(b, return_inverse=True)
+    cont = np.zeros((ua.size, ub.size), dtype=np.int64)
+    np.add.at(cont, (ia, ib), 1)
+
+    def comb2(x):
+        return x * (x - 1) // 2
+
+    sum_ij = comb2(cont).sum()
+    sum_a = comb2(cont.sum(axis=1)).sum()
+    sum_b = comb2(cont.sum(axis=0)).sum()
+    total = comb2(n)
+    expected = sum_a * sum_b / total if total > 0 else 0.0
+    max_index = 0.5 * (sum_a + sum_b)
+    denom = max_index - expected
+    if denom == 0:
+        return 1.0 if sum_ij == max_index else 0.0
+    return float((sum_ij - expected) / denom)
 
 
 def _to_sc(x: np.ndarray) -> np.ndarray:
