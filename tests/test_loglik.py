@@ -170,3 +170,72 @@ def test_grad_matches_finite_differences():
         fd = (float(f(plus)) - float(f(minus))) / (2 * eps)
         an = float(np.sum(np.asarray(g[k]) * direction))
         np.testing.assert_allclose(an, fd, rtol=1e-4, atol=1e-4)
+
+
+def test_time_chunked_ll_matches_unchunked():
+    """time_chunk streams the LL over blocks (SURVEY §5 long-context):
+    value and gradient must match the monolithic path exactly, including
+    when the chunk size does not divide T."""
+    import jax.numpy as jnp
+
+    spec = make_model("sparse_weighted_model", 3)
+    pop = Population(spec)
+    pop_c = Population(spec, time_chunk=128)  # 700 % 128 != 0
+    rng = np.random.RandomState(0)
+    stim = rng.randn(700, 1)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 700, stim=stim)
+    data = pop.prepare_data(S, stim=stim)
+
+    ll = float(pop.log_likelihood(true, data))
+    ll_c = float(pop_c.log_likelihood(true, data))
+    np.testing.assert_allclose(ll_c, ll, rtol=1e-12)
+
+    opt, frozen = split_params(true)
+    g = jax.grad(lambda o: pop.log_joint({**frozen, **o}, data))(opt)
+    g_c = jax.grad(lambda o: pop_c.log_joint({**frozen, **o}, data))(opt)
+    for k in g:
+        np.testing.assert_allclose(np.asarray(g_c[k]), np.asarray(g[k]), rtol=1e-9)
+
+
+def test_streaming_design_matches_materialized():
+    """materialize_design=False rebuilds each block's X_imp from the spikes
+    with a causal halo — identical LL/grad to the precomputed design (up to
+    the column-centering reparameterization, which streaming mode skips:
+    centering only shifts where the constant current is accounted, so the
+    *likelihood at equal params* must still agree)."""
+    import jax.numpy as jnp
+
+    spec = make_model("sparse_weighted_model", 3, bkgd={"type": "none"})
+    pop_ref = Population(spec)
+    pop_str = Population(spec, time_chunk=200)
+    true = pop_ref.sample(jax.random.PRNGKey(0))
+    S, _ = pop_ref.simulate(jax.random.PRNGKey(1), true, 900)
+
+    data_ref = pop_ref.prepare_data(S)
+    data_str = pop_str.prepare_data(S, materialize_design=False)
+    assert "X_imp" not in data_str
+
+    ll_ref = float(pop_ref.log_likelihood(true, data_ref))
+    ll_str = float(pop_str.log_likelihood(true, data_str))
+    np.testing.assert_allclose(ll_str, ll_ref, rtol=1e-10)
+
+    opt, frozen = split_params(true)
+    g_ref = jax.grad(lambda o: pop_ref.log_joint({**frozen, **o}, data_ref))(opt)
+    g_str = jax.grad(lambda o: pop_str.log_joint({**frozen, **o}, data_str))(opt)
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_str[k]), np.asarray(g_ref[k]), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_streaming_without_time_chunk_raises():
+    spec = make_model("sparse_weighted_model", 2, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 300)
+    data = pop.prepare_data(S, materialize_design=False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="materialize_design"):
+        pop.log_likelihood(true, data)

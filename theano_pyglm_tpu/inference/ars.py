@@ -1,18 +1,20 @@
 """Adaptive rejection sampling (≅ pyglm/inference/ars.py, SURVEY.md §2).
 
 Gilks & Wild (1992) tangent-based ARS for log-concave 1-D densities. The
-reference uses it for conditionals like the bias [M]; the TPU path normally
-covers those with HMC, but ARS is provided for parity and for exact 1-D
-conditional draws (it is also handy in Geweke testing). Host-side numpy: the
-algorithm is inherently sequential and data-dependent (hull refinement), the
-wrong shape for jit — and it is never on the hot path.
+reference uses it for conditionals like the bias [M]. Here it backs
+:func:`update_bias_ars` — an EXACT Gibbs draw of each neuron's bias from its
+full conditional (log-concave for the exp-Poisson GLM), the rejection-free
+complement to the HMC bias block: use it to validate HMC's stationary
+distribution, or as the bias update in host-driven sweeps. Host-side numpy:
+the algorithm is inherently sequential and data-dependent (hull refinement),
+the wrong shape for jit — and it is never on the hot path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["adaptive_rejection_sample"]
+__all__ = ["adaptive_rejection_sample", "update_bias_ars"]
 
 
 def adaptive_rejection_sample(
@@ -103,3 +105,67 @@ def adaptive_rejection_sample(
             hs.insert(j, hx)
             dhs.insert(j, float(h_prime(x)))
     raise RuntimeError("ARS failed to accept within max_iter")
+
+
+def update_bias_ars(rng, pop, params, data):
+    """Exact Gibbs update of every neuron's bias from its full conditional.
+
+    For the exp-Poisson GLM the bias conditional is log-concave:
+
+        h(b) = b·Σ_t S[t,n] − dt·e^b·Σ_t e^{I₋ᵦ[t,n]} − (b−μ)²/(2σ²)
+
+    (I₋ᵦ = total current minus the bias), so ARS samples it exactly — no
+    step size, no accept rate. This is the reference's ARS use case
+    (SURVEY.md §2 [M]) wired into this framework's inference surface; the
+    HMC 'glm' block covers the same variable on the jitted device path.
+
+    Returns a new params dict with 'bias' replaced. Host-side (numpy).
+    """
+    if pop.nlin.name != "exp" or pop.observation.name != "poisson":
+        raise ValueError("exact bias conditional requires exp nonlinearity + Poisson")
+    rng = rng or np.random.RandomState()
+    I = np.asarray(pop.total_current(params, data))
+    bias = np.asarray(params["bias"], dtype=np.float64)
+    I_wo = I - bias[None, :]
+    S = np.asarray(data["S"])
+    c1 = S.sum(axis=0)  # (N,)
+    c2 = np.exp(np.clip(I_wo, -40.0, 40.0)).sum(axis=0) * pop.dt  # (N,)
+    bspec = pop.spec.get("bias", {})
+    mu = float(bspec.get("mu", 2.0))
+    sigma = float(bspec.get("sigma", 1.0))
+
+    new_bias = np.empty_like(bias)
+    for n in range(bias.shape[0]):
+        a, c = float(c1[n]), float(c2[n])
+
+        def h(b, a=a, c=c):
+            z = (b - mu) / sigma
+            return a * b - c * np.exp(b) - 0.5 * z * z
+
+        def h_prime(b, a=a, c=c):
+            return a - c * np.exp(b) - (b - mu) / (sigma * sigma)
+
+        # Newton to the (unique) mode of the concave h, then bracket it.
+        b0 = np.log(max(a, 0.5) / max(c, 1e-12))
+        b0 = min(max(b0, mu - 10 * sigma), mu + 10 * sigma)
+        for _ in range(50):
+            d1 = h_prime(b0)
+            d2 = -c * np.exp(b0) - 1.0 / (sigma * sigma)
+            step = d1 / d2
+            b0 -= step
+            if abs(step) < 1e-10:
+                break
+        span = 2.0
+        while h_prime(b0 - span) <= 0:
+            span *= 2.0
+        lo_x = b0 - span
+        span = 2.0
+        while h_prime(b0 + span) >= 0:
+            span *= 2.0
+        hi_x = b0 + span
+        new_bias[n] = adaptive_rejection_sample(
+            h, h_prime, [lo_x, b0, hi_x], rng=rng
+        )
+    import jax.numpy as jnp
+
+    return {**params, "bias": jnp.asarray(new_bias, I.dtype)}

@@ -57,6 +57,39 @@ def compute_psi(pop, params, data) -> jax.Array:
     return psi
 
 
+def _row_psi(pop, data, w_eff_n) -> jax.Array:
+    """One postsynaptic row of ψ: (T, N_pre) from X_imp and that row's
+    effective filter weights (N_pre, B). Computed *inside* the row update so
+    the full (T, N_post, N_pre) ψ tensor is never materialized when rows are
+    streamed (``row_batch``) — the long-context fix from SURVEY.md §5: at
+    N=100/T=600k full ψ is 24 GB, one row is 240 MB."""
+    X = data["X_imp"]
+    if X.dtype == jnp.bfloat16:
+        psi_n = jnp.einsum(
+            "tmb,mb->tm", X, w_eff_n.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        psi_n = jnp.einsum("tmb,mb->tm", X, w_eff_n)
+    mean = data.get("_X_imp_mean")
+    if mean is not None:
+        psi_n = psi_n + jnp.sum(mean * w_eff_n, axis=-1)[None]
+    if X.dtype == jnp.bfloat16:
+        # the user opted into bf16 design tensors; ψ dominates the sweep's
+        # HBM traffic, so carry it at the same precision
+        psi_n = psi_n.astype(jnp.bfloat16)
+    return psi_n
+
+
+def _map_rows(row_fn, args: tuple, row_batch):
+    """vmap over postsynaptic rows (default — XLA materializes all rows at
+    once, fine when T·N² fits HBM) or lax.map with ``row_batch`` rows in
+    flight (bounded memory for long recordings / large N)."""
+    if row_batch is None:
+        return jax.vmap(row_fn)(*args)
+    return jax.lax.map(lambda a: row_fn(*a), args, batch_size=int(row_batch))
+
+
 def rest_current(pop, params, data) -> jax.Array:
     """(T, N) currents from everything except the coupling term."""
     I = pop.bias.current(params, data)
@@ -64,7 +97,7 @@ def rest_current(pop, params, data) -> jax.Array:
     return I
 
 
-def update_adjacency(key, pop, params, data):
+def update_adjacency(key, pop, params, data, row_batch=None):
     """Collapsed-Gibbs sweep over all N² adjacency entries.
 
     p(A[n,m]=1 | rest) ∝ p_prior(n,m) · exp(LL_n(I_rest + ψ·W added))
@@ -75,7 +108,7 @@ def update_adjacency(key, pop, params, data):
 
     S, dt, nlin, obs = data["S"], pop.dt, pop.nlin, pop.observation
     N = pop.N
-    psi = compute_psi(pop, params, data)  # (T, N, N)
+    w_eff = pop.impulse.effective(params)  # (N_post, N_pre, B)
     I_rest = rest_current(pop, params, data)  # (T, N)
     W = pop.weights.effective_W(params)  # (N, N)
     P = pop.graph.edge_prob(params)
@@ -84,8 +117,10 @@ def update_adjacency(key, pop, params, data):
     def ll_of(I_n, S_n):
         return jnp.sum(obs.log_likelihood(S_n, I_n, nlin, dt))
 
-    def row_update(key_n, A_n, W_n, psi_n, S_n, I_rest_n, logit_n):
-        # psi_n: (T, N_pre); running current for this postsynaptic neuron.
+    def row_update(key_n, A_n, W_n, w_eff_n, S_n, I_rest_n, logit_n):
+        # ψ row computed here (never the full (T,N,N) tensor — see _row_psi);
+        # running current for this postsynaptic neuron.
+        psi_n = _row_psi(pop, data, w_eff_n)
         I_n = I_rest_n + psi_n @ (A_n * W_n)
         keys = jax.random.split(key_n, N)
 
@@ -105,20 +140,17 @@ def update_adjacency(key, pop, params, data):
         return A_n
 
     keys = jax.random.split(key, N)
-    A_new = jax.vmap(row_update)(
-        keys,
-        params["A"],
-        W,
-        jnp.moveaxis(psi, 1, 0),  # (N_post, T, N_pre)
-        S.T,
-        I_rest.T,
-        logit_prior,
+    A_new = _map_rows(
+        row_update,
+        (keys, params["A"], W, w_eff, S.T, I_rest.T, logit_prior),
+        row_batch,
     )
     return {**params, "A": A_new}
 
 
 def update_adjacency_collapsed(
-    key, pop, params, data, n_newton: int = 8, return_accept: bool = False
+    key, pop, params, data, n_newton: int = 8, return_accept: bool = False,
+    row_batch=None,
 ):
     """Joint (A[n,m], W[n,m]) birth–death update — the mixing-correct
     counterpart of the reference's *collapsed* adjacency Gibbs (SURVEY.md §2
@@ -146,23 +178,20 @@ def update_adjacency_collapsed(
     if pop.graph.fixed_A:
         return (params, jnp.asarray(1.0)) if return_accept else params
     if not pop.weights.has_W:
-        out = update_adjacency(key, pop, params, data)
+        out = update_adjacency(key, pop, params, data, row_batch=row_batch)
         return (out, jnp.asarray(1.0)) if return_accept else out
 
     S, dt, nlin, obs = data["S"], pop.dt, pop.nlin, pop.observation
     N = pop.N
-    psi = compute_psi(pop, params, data)  # (T, N, N)
-    if data["X_imp"].dtype == jnp.bfloat16:
-        # the user opted into bf16 design tensors; ψ dominates the sweep's
-        # HBM traffic, so carry it at the same precision
-        psi = psi.astype(jnp.bfloat16)
+    w_eff_all = pop.impulse.effective(params)  # (N_post, N_pre, B)
     I_rest = rest_current(pop, params, data)
     MU, SIG = pop.weights.prior_mu_sigma(params)
     P = pop.graph.edge_prob(params)
     logit_prior = jnp.log(jnp.clip(P, 1e-12, 1.0)) - jnp.log(jnp.clip(1.0 - P, 1e-12, 1.0))
     _LOG2PI = 1.8378770664093453
 
-    def row_update(key_n, A_n, W_n, psi_n, S_n, I_rest_n, mu_n, sig_n, logit_n):
+    def row_update(key_n, A_n, W_n, w_eff_n, S_n, I_rest_n, mu_n, sig_n, logit_n):
+        psi_n = _row_psi(pop, data, w_eff_n)
         I_n = I_rest_n + psi_n @ (A_n * W_n)
         keys = jax.random.split(key_n, N)
 
@@ -308,16 +337,10 @@ def update_adjacency_collapsed(
         return A_n, W_n, jnp.mean(accepts.astype(jnp.float32))
 
     keys = jax.random.split(key, N)
-    A_new, W_new, acc = jax.vmap(row_update)(
-        keys,
-        params["A"],
-        params["W"],
-        jnp.moveaxis(psi, 1, 0),  # (N_post, T, N_pre)
-        S.T,
-        I_rest.T,
-        MU,
-        SIG,
-        logit_prior,
+    A_new, W_new, acc = _map_rows(
+        row_update,
+        (keys, params["A"], params["W"], w_eff_all, S.T, I_rest.T, MU, SIG, logit_prior),
+        row_batch,
     )
     out = {**params, "A": A_new, "W": W_new}
     if return_accept:

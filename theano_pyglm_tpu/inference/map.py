@@ -122,6 +122,28 @@ def heldout_log_likelihood(pop, params, data):
     return pop.log_likelihood(params, data)
 
 
+@partial(jax.jit, static_argnums=(0, 3, 6))
+def _map_fit_multi_jit(pop, params0, datas, max_iter, lam, l1_eps, penalize_W):
+    """MAP over a *tuple* of data segments: the spike LL is additive over
+    disjoint time segments (each segment's design gets its own zero-padded
+    causal history, so no seam artifacts), the prior enters once."""
+    opt0, frozen = split_params(params0)
+
+    def objective(opt_params):
+        p = {**frozen, **opt_params}
+        nlp = -pop.log_prior(p)
+        for d in datas:
+            nlp = nlp - pop.log_likelihood(p, d)
+        if penalize_W:
+            W = opt_params["W"]
+            off = W * (1.0 - jnp.eye(W.shape[0]))
+            nlp = nlp + lam * jnp.sum(jnp.sqrt(off * off + l1_eps * l1_eps))
+        return nlp
+
+    opt, val, iters = lbfgs_minimize(objective, opt0, max_iter=max_iter)
+    return {**frozen, **opt}, -val, iters
+
+
 def cross_validate_lambda(
     pop,
     S,
@@ -130,26 +152,60 @@ def cross_validate_lambda(
     lambdas: Sequence[float],
     train_frac: float = 0.8,
     max_iter: int = 300,
+    n_folds: int = 1,
+    warm_start: bool = True,
 ):
     """Grid-search the sparsity penalty λ by held-out predictive log-lik.
 
-    ≅ the reference's xv harness (SURVEY.md §3.5): split the time axis into
-    train/validation segments, fit per λ on train, score on validation, return
-    (best_lambda, fits, scores).
+    ≅ the reference's xv harness (SURVEY.md §3.5). ``n_folds=1`` is the
+    reference's single contiguous train/validation split; ``n_folds>1`` runs
+    contiguous-block k-fold (validation block rotates, training happens on
+    the remaining segments, whose likelihoods add — each segment keeps its
+    own causal design so fold seams are exact). λ's are fitted largest-first
+    with warm starts (the lasso-path convention): each fit initializes from
+    the previous λ's solution, which both speeds convergence and removes the
+    flat-score degeneracy of cold restarts.
+
+    Returns (best_lambda, fits, scores): ``fits`` are fold-0 fits per λ,
+    ``scores`` the mean held-out log-lik per λ (same order as ``lambdas``).
     """
     T = S.shape[0]
-    T_train = int(T * train_frac)
-    S_train, S_val = S[:T_train], S[T_train:]
-    stim_train = stim[:T_train] if stim is not None else None
-    stim_val = stim[T_train:] if stim is not None else None
-    data_train = pop.prepare_data(S_train, stim=stim_train)
-    data_val = pop.prepare_data(S_val, stim=stim_val)
+    if n_folds <= 1:
+        T_tr = int(T * train_frac)
+        folds = [((slice(0, T_tr),), slice(T_tr, T))]
+    else:
+        edges = [int(round(i * T / n_folds)) for i in range(n_folds + 1)]
+        folds = []
+        for i in range(n_folds):
+            val = slice(edges[i], edges[i + 1])
+            train = tuple(
+                s for s in (slice(0, edges[i]), slice(edges[i + 1], T))
+                if s.stop > s.start
+            )
+            folds.append((train, val))
 
-    fits, scores = [], []
-    for lam in lambdas:
-        params, _, _ = sparse_map_fit(pop, data_train, init_params, lam, max_iter=max_iter)
-        score = float(jax.jit(pop.log_likelihood, static_argnums=())(params, data_val))
-        fits.append(params)
-        scores.append(score)
+    def seg_data(sl):
+        return pop.prepare_data(
+            S[sl], stim=None if stim is None else stim[sl]
+        )
+
+    order = sorted(range(len(lambdas)), key=lambda i: -float(lambdas[i]))
+    scores_sum = [0.0] * len(lambdas)
+    fits_fold0 = [None] * len(lambdas)
+    for fold_i, (train_sls, val_sl) in enumerate(folds):
+        datas = tuple(seg_data(sl) for sl in train_sls)
+        data_val = seg_data(val_sl)
+        params = init_params
+        for i in order:
+            fit, _, _ = _map_fit_multi_jit(
+                pop, params, datas, max_iter,
+                jnp.asarray(float(lambdas[i])), 1e-6, True,
+            )
+            if warm_start:
+                params = fit
+            scores_sum[i] += float(pop.log_likelihood(fit, data_val))
+            if fold_i == 0:
+                fits_fold0[i] = fit
+    scores = [s / len(folds) for s in scores_sum]
     best = int(jnp.argmax(jnp.asarray(scores)))
-    return lambdas[best], fits, scores
+    return lambdas[best], fits_fold0, scores

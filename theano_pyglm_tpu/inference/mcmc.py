@@ -157,11 +157,17 @@ def init_mcmc_state(pop, params, step_size: float = 0.02) -> dict:
     return state
 
 
-def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
+def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
+               row_batch=None):
     """Build the jitted one-iteration Gibbs sweep (see module docstring).
 
     Returns ``sweep(key, state, adapt) -> state`` with ``adapt`` a traced
     bool enabling step-size adaptation (warmup).
+
+    ``row_batch``: stream the adjacency sweep ``row_batch`` postsynaptic
+    rows at a time (lax.map) instead of all-at-once (vmap) — bounds the ψ
+    working set to row_batch·T·N for long recordings (SURVEY.md §5
+    long-context row).
     """
     # Whitening substitution for the stimulus weights: overlapping basis
     # columns make X_stim's columns strongly correlated, which a diagonal
@@ -237,7 +243,7 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9):
         # 3–5. discrete machinery + conjugate hypers
         params = update_weight_hypers(k_wh, pop, params)
         params = refresh_disconnected_weights(k_w, pop, params)
-        params = update_adjacency_collapsed(k_a, pop, params, data)
+        params = update_adjacency_collapsed(k_a, pop, params, data, row_batch=row_batch)
         params = update_sbm_types(k_y, pop, params)
         params = update_sbm_hypers(k_hyp, pop, params)
         params = update_er_rho(k_rho, pop, params)
@@ -301,6 +307,7 @@ def gibbs_sample(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    row_batch: Optional[int] = None,
 ):
     """Full Bayesian inference (≅ ``gibbs_sample(population, data, N)``).
 
@@ -323,7 +330,8 @@ def gibbs_sample(
     if init_params is None:
         init_params = pop.sample(key)
 
-    sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept)
+    sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept,
+                       row_batch=row_batch)
     state = init_mcmc_state(pop, init_params, step_size=step_size)
     total = n_samples * thin
     it_global = 0  # warmup iters count 0..n_warmup, then sampling continues

@@ -65,18 +65,27 @@ class Population:
         spec: dict,
         use_pallas: str | bool = "auto",
         design_dtype=None,
+        time_chunk: Optional[int] = None,
     ):
         """``design_dtype=jnp.bfloat16`` stores the (large) spike design
         tensor X_imp in bf16 — halves the HBM traffic of every likelihood/
         gradient pass (matmuls still accumulate in f32). ~0.4% relative
         quantization on coupling currents; leave None (full precision) for
-        verification runs."""
+        verification runs.
+
+        ``time_chunk``: evaluate the likelihood (and its VJP) in time blocks
+        of this many bins via ``lax.map`` — the SURVEY §5 long-context
+        chunking. Combined with ``prepare_data(materialize_design=False)``
+        (X_imp rebuilt per block from the spikes with an L-bin halo), memory
+        is bounded by the block size instead of T·N·B, so recordings beyond
+        HBM stream."""
         validate_spec(spec)
         self.spec = copy.deepcopy(spec)
         self.N = int(spec["N"])
         self.dt = float(spec.get("dt", 1e-3))
         self._use_pallas = use_pallas
         self.design_dtype = design_dtype
+        self.time_chunk = int(time_chunk) if time_chunk else None
 
         # -- bases (host-side, built once; ≅ reference create_basis in set_data)
         imp_spec = dict(spec.get("impulse", {"type": "basis"}))
@@ -136,6 +145,7 @@ class Population:
         S,
         stim=None,
         stim_dt: Optional[float] = None,
+        materialize_design: bool = True,
     ) -> dict:
         """Precompute design tensors (≅ the reference's ``set_data``).
 
@@ -143,30 +153,35 @@ class Population:
           S: (T, N) spike counts (float or int).
           stim: optional (T_stim, D) stimulus at interval ``stim_dt``
                 (defaults to the bin width ``dt``).
+          materialize_design: build X_imp (T,N,B) up front (default). With
+                False, only S is kept and the likelihood reconstructs each
+                time block's design on the fly (requires ``time_chunk`` on
+                the Population) — T·N·B never has to fit in HBM.
         Returns:
           data dict with 'S' (T,N), 'X_imp' (T,N,B_imp) and, if the model has
           a stimulus component, 'X_stim' (T, D·B_stim) or 'X_st' (T,D,B_stim).
         """
         S = jnp.asarray(S, default_float())
         T = S.shape[0]
-        X_imp = convolve_with_basis(S, jnp.asarray(self.basis_imp))
-        # Center the spike design columns (exact reparameterization: the
-        # column means re-enter the currents as a per-pair constant). Raw
-        # X_imp columns have mean ≈ rate·Σφ, which couples every coupling
-        # weight to the bias along a razor-thin ridge — centering removes
-        # the dominant correlation and conditions both L-BFGS and HMC.
-        X_mean = jnp.mean(X_imp, axis=0)  # (N_pre, B)
-        X_imp = X_imp - X_mean[None]
-        if self.design_dtype is not None:
-            X_imp = X_imp.astype(self.design_dtype)
         data = {
             "S": S,
-            "X_imp": X_imp,
-            "_X_imp_mean": X_mean,
             # Poisson normalizer Σ log S! — constant w.r.t. params, folded in
             # once here so the fused Pallas LL path can skip the (T, N) pass.
             "_neg_log_S_factorial": -jnp.sum(jax.scipy.special.gammaln(S + 1.0)),
         }
+        if materialize_design:
+            X_imp = convolve_with_basis(S, jnp.asarray(self.basis_imp))
+            # Center the spike design columns (exact reparameterization: the
+            # column means re-enter the currents as a per-pair constant). Raw
+            # X_imp columns have mean ≈ rate·Σφ, which couples every coupling
+            # weight to the bias along a razor-thin ridge — centering removes
+            # the dominant correlation and conditions both L-BFGS and HMC.
+            X_mean = jnp.mean(X_imp, axis=0)  # (N_pre, B)
+            X_imp = X_imp - X_mean[None]
+            if self.design_dtype is not None:
+                X_imp = X_imp.astype(self.design_dtype)
+            data["X_imp"] = X_imp
+            data["_X_imp_mean"] = X_mean
         if self.basis_stim is not None:
             if stim is None:
                 raise ValueError("model has a stimulus component but no stim given")
@@ -201,22 +216,96 @@ class Population:
 
     def log_likelihood_per_neuron(self, params, data) -> jax.Array:
         """(N,) spike log-likelihood per postsynaptic neuron (factorizes)."""
+        if self.time_chunk is not None and data["S"].shape[0] > self.time_chunk:
+            return self._ll_per_neuron_chunked(params, data)
+        if "X_imp" not in data:
+            raise ValueError(
+                "data was prepared with materialize_design=False; build the "
+                "Population with time_chunk=<bins> so the likelihood can "
+                "stream the design per time block"
+            )
         I = self.total_current(params, data)
         ll = self.observation.log_likelihood(data["S"], I, self.nlin, self.dt)
         return jnp.sum(ll, axis=0)
 
+    def _ll_per_neuron_chunked(self, params, data) -> jax.Array:
+        """Time-chunked (N,) log-likelihood: ``lax.map`` over blocks of
+        ``time_chunk`` bins (SURVEY.md §5 "Long-context"). The LL is a plain
+        sum over bins, so blocks are independent given the params; each block
+        is rematerialized in the VJP (jax.checkpoint), so neither the forward
+        intermediates nor the backward residuals ever hold more than one
+        block. When X_imp is absent (``materialize_design=False``) the
+        block's design tensor is rebuilt from the spikes with an L-bin halo —
+        exact, because the convolution is strictly causal with L-bin support.
+        """
+        C = self.time_chunk
+        S = data["S"]
+        T, N = S.shape
+        L = self.L_imp
+        n_chunks = -(-T // C)
+        T_pad = n_chunks * C
+        streaming = "X_imp" not in data
+
+        def pad0(x):
+            return jnp.pad(x, [(0, T_pad - T)] + [(0, 0)] * (x.ndim - 1))
+
+        time_keys = [k for k in ("X_imp", "X_stim", "X_st") if k in data]
+        chunks = {
+            k: pad0(data[k]).reshape((n_chunks, C) + data[k].shape[1:])
+            for k in time_keys
+        }
+        S_pad = pad0(S)
+        chunks["S"] = S_pad.reshape(n_chunks, C, N)
+        chunks["_mask"] = (jnp.arange(T_pad) < T).reshape(n_chunks, C)
+        static = {k: v for k, v in data.items()
+                  if k not in time_keys and k not in ("S",)}
+        static["_G"] = self.coupling(params)
+        if streaming:
+            S_halo = jnp.concatenate(
+                [jnp.zeros((L, N), S_pad.dtype), S_pad], axis=0
+            )
+            basis = jnp.asarray(self.basis_imp)
+
+        @jax.checkpoint
+        def one(args):
+            i, ch = args
+            d = dict(static)
+            d["S"] = ch["S"]
+            for k in time_keys:
+                d[k] = ch[k]
+            if streaming:
+                # rows [i·C, i·C + C + L) of [zeros(L); S_pad]: the block
+                # plus its exact causal history
+                Sh = jax.lax.dynamic_slice(S_halo, (i * C, 0), (C + L, N))
+                X = convolve_with_basis(Sh, basis)[L:]
+                if self.design_dtype is not None:
+                    X = X.astype(self.design_dtype)
+                d["X_imp"] = X
+            I = jnp.zeros_like(ch["S"])
+            for comp in self._current_components:
+                I = I + comp.current(params, d)
+            ll = self.observation.log_likelihood(ch["S"], I, self.nlin, self.dt)
+            return jnp.sum(ll * ch["_mask"][:, None], axis=0)
+
+        per = jax.lax.map(one, (jnp.arange(n_chunks), chunks))  # (n_chunks, N)
+        return jnp.sum(per, axis=0)
+
     def _pallas_active(self) -> bool:
-        """Fused Pallas LL path: exp-Poisson on TPU at float32 (the x64
-        verification mode and CPU tests take the plain XLA path)."""
-        if self._use_pallas is False:
+        """Fused Pallas LL path (exp-Poisson, float32, opt-in).
+
+        'auto' resolves to OFF: measured on v5e at the acceptance shapes
+        (N=27, T=60k), XLA's compiler-fused matmul pipeline beats the
+        hand-written one-pass kernel for value_and_grad (0.185 ms vs
+        0.29 ms) and the chain-batched path by more — see
+        ops/pallas_kernels.py "MEASURED STATUS". Set use_pallas=True to
+        force the fused kernels."""
+        if self._use_pallas is not True:
             return False
         if self.nlin.name != "exp" or self.observation.name != "poisson":
             return False
         if jax.config.jax_enable_x64:
             return False
-        if self._use_pallas is True:
-            return True
-        return jax.default_backend() == "tpu"
+        return True
 
     def log_likelihood(self, params, data) -> jax.Array:
         # The fused op is vmap-safe: a chain-vmapped call routes to the

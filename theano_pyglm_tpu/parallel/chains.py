@@ -32,6 +32,18 @@ from theano_pyglm_tpu.utils.diagnostics import summarize_chains
 __all__ = ["gibbs_sample_chains"]
 
 
+def _to_host(x):
+    """Device → host numpy, multi-host aware: a globally-sharded array
+    (chains spread over processes, parallel/distributed.py) is all-gathered
+    so every host sees the full sample stack; locally-addressable arrays are
+    a plain copy."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 5))
 def _run_chunk_chains(vsweep, n_iters, key, states, adapt, collect):
     n_chains = states["glm"].t.shape[0]
@@ -64,6 +76,7 @@ def gibbs_sample_chains(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    row_batch: Optional[int] = None,
 ):
     """Run ``n_chains`` independent Gibbs/HMC chains, sharded over ``mesh``.
 
@@ -83,7 +96,8 @@ def gibbs_sample_chains(
     if n_warmup is None:
         n_warmup = max(100, n_samples // 5)
 
-    sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept)
+    sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept,
+                       row_batch=row_batch)
 
     def vsweep(keys, states, adapt):
         if mesh is not None:
@@ -148,6 +162,8 @@ def gibbs_sample_chains(
     def persist_samples(it_g, samples_chunk):
         if checkpoint_dir is None or samples_chunk is None:
             return
+        if jax.process_index() != 0:
+            return
         os.makedirs(checkpoint_dir, exist_ok=True)
         np.savez_compressed(
             os.path.join(checkpoint_dir, f"samples_{it_g:09d}.npz"), **samples_chunk
@@ -164,8 +180,12 @@ def gibbs_sample_chains(
             return
         from theano_pyglm_tpu.utils.checkpoints import save_checkpoint
 
+        # all-gather is collective — every process participates, rank 0 writes
+        host_states = jax.tree.map(_to_host, states)
+        if jax.process_index() != 0:
+            return
         os.makedirs(checkpoint_dir, exist_ok=True)
-        save_checkpoint(checkpoint_dir, it_g, states, k_base)
+        save_checkpoint(checkpoint_dir, it_g, host_states, k_base)
 
     def run_phase(k_base, phase_start, total, adapt, collect, boundaries=()):
         nonlocal states, it_global
@@ -180,7 +200,7 @@ def gibbs_sample_chains(
                 if prev_it < b <= prev_it + n:
                     states = adapt_boundary(states, action)
             if collect:
-                samples = jax.tree.map(np.asarray, samples)
+                samples = jax.tree.map(_to_host, samples)
                 samples = thin_chunk(samples, thin, prev_it)
                 host_chunks.append(samples)
             it += n
@@ -199,6 +219,6 @@ def gibbs_sample_chains(
     diagnostics = {"convergence": summarize_chains(samples)}
     for name in ("glm", "imp", "latent"):
         if name in states:
-            diagnostics[f"accept_rate_{name}"] = np.asarray(states[name].accept_rate)
-            diagnostics[f"step_size_{name}"] = np.asarray(states[name].step_size)
+            diagnostics[f"accept_rate_{name}"] = _to_host(states[name].accept_rate)
+            diagnostics[f"step_size_{name}"] = _to_host(states[name].step_size)
     return samples, diagnostics, states

@@ -10,7 +10,37 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["split_rhat", "ess", "summarize_chains", "adjusted_rand_index"]
+__all__ = [
+    "split_rhat",
+    "ess",
+    "summarize_chains",
+    "adjusted_rand_index",
+    "support_metrics",
+]
+
+
+def support_metrics(W, A_true, thresh: float = 0.05) -> dict:
+    """Edge-support precision/recall/F1 of a fitted coupling matrix against
+    the true adjacency (off-diagonal entries only) — the quantitative check
+    for sparse MAP recovery (acceptance config 2)."""
+    W = np.asarray(W)
+    A = np.asarray(A_true) > 0
+    off = ~np.eye(W.shape[0], dtype=bool)
+    pred = (np.abs(W) > thresh) & off
+    true = A & off
+    tp = int(np.sum(pred & true))
+    fp = int(np.sum(pred & ~true))
+    fn = int(np.sum(~pred & true))
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+    return {
+        "precision": float(precision),
+        "recall": float(recall),
+        "f1": float(f1),
+        "n_predicted_edges": tp + fp,
+        "n_true_edges": tp + fn,
+    }
 
 
 def adjusted_rand_index(labels_a, labels_b) -> float:
