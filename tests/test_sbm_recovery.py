@@ -40,12 +40,18 @@ def test_type_gibbs_recovers_partition_given_true_A():
     pop, true, y_true = _planted()
     params = dict(true)
     params["y"] = jnp.asarray(np.random.RandomState(1).randint(0, 2, pop.N))
+
+    @jax.jit
+    def step(key, params):
+        k1, k2 = jax.random.split(key)
+        params = update_sbm_types(k1, pop, params)
+        return update_sbm_hypers(k2, pop, params)
+
     key = jax.random.PRNGKey(1)
     aris = []
     for it in range(40):
-        key, k1, k2 = jax.random.split(key, 3)
-        params = update_sbm_types(k1, pop, params)
-        params = update_sbm_hypers(k2, pop, params)
+        key, k = jax.random.split(key)
+        params = step(k, params)
         if it >= 20:
             aris.append(adjusted_rand_index(np.asarray(params["y"]), y_true))
     assert np.mean(aris) >= 0.9

@@ -63,7 +63,13 @@ def _row_psi(pop, data, w_eff_n) -> jax.Array:
     the full (T, N_post, N_pre) ψ tensor is never materialized when rows are
     streamed (``row_batch``) — the long-context fix from SURVEY.md §5: at
     N=100/T=600k full ψ is 24 GB, one row is 240 MB."""
-    X = data["X_imp"]
+    X = data.get("X_imp")
+    if X is None:
+        raise ValueError(
+            "adjacency updates need a materialized spike design "
+            "(prepare_data(materialize_design=True)); the streaming data mode "
+            "covers likelihood/MAP/HMC paths only"
+        )
     if X.dtype == jnp.bfloat16:
         psi_n = jnp.einsum(
             "tmb,mb->tm", X, w_eff_n.astype(jnp.bfloat16),
