@@ -71,9 +71,22 @@ def main():
     print("config 1 done", report["config1_standard_glm_map"], flush=True)
 
     # ---- config 2: N=10 ER, sparse MAP + xv lambda (+ support recovery)
+    # Identifiable planted weights (|W|=2.5 on the sampled ER edges): a
+    # prior draw W ~ N(0,2) leaves about half the edges statistically
+    # undetectable at this T, which turns the xv score flat and the support
+    # metric meaningless (ROUND2.md item 5).
     t0 = time.time()
     T2 = 4_000 if q else 30_000
-    pop, true, S, stim = synth("sparse_weighted_model", 10, T2)
+    spec2 = make_model("sparse_weighted_model", 10)
+    spec2["bias"] = {"mu": 2.5, "sigma": 0.4}
+    pop = Population(spec2)
+    true = dict(pop.sample(jax.random.PRNGKey(0)))
+    rng2 = np.random.RandomState(20)
+    W2p = np.where(rng2.rand(10, 10) < 0.7, 2.5, -2.5).astype(np.float32)
+    np.fill_diagonal(W2p, -2.0)
+    true["W"] = jax.numpy.asarray(W2p) * true["A"]
+    stim = rng.randn(T2, 1).astype(np.float32)
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, T2, stim=stim)
     init = smart_initialize(pop, pop.prepare_data(S, stim=stim))
     init["A"] = np.ones((10, 10))
     # wide log-spaced grid (interior winner expected) + 3-fold xv with
@@ -103,15 +116,31 @@ def main():
     }
     print("config 2 done", report["config2_sparse_map_xv"], flush=True)
 
-    # ---- config 3: N=10 full HMC, 4 parallel chains
+    # ---- config 3: N=10 full HMC, 4 parallel chains. Chains start from a
+    # shared MAP fit with per-chain jitter (the flagship's protocol): with
+    # weak prior-drawn coupling the (A, W, filters) posterior is multimodal
+    # and prior-initialized chains can settle in different modes — R-hat
+    # then measures mode disagreement, i.e. luck, not the sampler.
     t0 = time.time()
     T3 = 3_000 if q else 30_000
-    pop, true, S, stim = synth("sparse_weighted_model", 10, T3, seed=2)
+    spec3 = make_model("sparse_weighted_model", 10)
+    spec3["bias"] = {"mu": 2.5, "sigma": 0.4}
+    pop = Population(spec3)
+    true = dict(pop.sample(jax.random.PRNGKey(2)))
+    rng3 = np.random.RandomState(30)
+    W3p = np.where(rng3.rand(10, 10) < 0.7, 2.5, -2.5).astype(np.float32)
+    np.fill_diagonal(W3p, -2.0)
+    true["W"] = jax.numpy.asarray(W3p) * true["A"]  # identifiable edges (as config 2)
+    stim = rng.randn(T3, 1).astype(np.float32)
+    S, _ = pop.simulate(jax.random.PRNGKey(3), true, T3, stim=stim)
     data3 = pop.prepare_data(S, stim=stim)
+    init3, _, _ = map_fit(pop, data3, smart_initialize(pop, data3),
+                          max_iter=100 if q else 300)
     ns = 50 if q else 500
     samples3, diag3, _ = gibbs_sample_chains(
         pop, data3, jax.random.PRNGKey(3), n_chains=4,
         n_samples=ns, n_warmup=ns, chunk_size=min(100, ns),
+        init_params=init3, init_jitter=0.05,
     )
     conv3 = summarize_chains(samples3)
     report["config3_hmc_4chains"] = {
@@ -130,20 +159,33 @@ def main():
     from theano_pyglm_tpu.utils.diagnostics import adjusted_rand_index
 
     t0 = time.time()
-    T4 = 3_000 if q else 30_000
+    T4 = 3_000 if q else 60_000
     N4 = 16
     spec4 = make_model("sbm_weighted_model", N4)
-    spec4["bias"] = {"mu": 2.5, "sigma": 0.4}
+    # recipe validated this round (see ROUND2.md item 4): ~18 Hz rates and
+    # fixed-magnitude planted weights make every edge statistically
+    # identifiable at this T, so block recovery tests the sampler rather
+    # than the data's information content
+    spec4["bias"] = {"mu": 2.8, "sigma": 0.3}
+    # tighter filter-shape prior: with σ=1.0 the per-pair filters and A
+    # co-mix slowly enough that block recovery depends on sampler luck
+    # (see tests/test_sbm_recovery.py for the full diagnosis)
+    spec4["impulse"]["sigma"] = 0.5
     pop = Population(spec4)
     true = pop.sample(jax.random.PRNGKey(4))
     y_true = np.array([0] * (N4 // 2) + [1] * (N4 - N4 // 2))
     Bm_true = np.array([[0.7, 0.05], [0.05, 0.7]], dtype=np.float32)
     P4 = Bm_true[y_true[:, None], y_true[None, :]]
     rng4 = np.random.RandomState(4)
+    A4 = (rng4.rand(N4, N4) < P4).astype(np.float32)
+    np.fill_diagonal(A4, 1.0)
+    W4 = np.where(rng4.rand(N4, N4) < 0.7, 2.5, -2.5).astype(np.float32)
+    np.fill_diagonal(W4, -2.0)
     true = dict(true)
     true["y"], true["Bm"] = jax.numpy.asarray(y_true), jax.numpy.asarray(Bm_true)
     true["pi"] = jax.numpy.asarray([0.5, 0.5], np.float32)
-    true["A"] = jax.numpy.asarray((rng4.rand(N4, N4) < P4).astype(np.float32))
+    true["A"] = jax.numpy.asarray(A4)
+    true["W"] = jax.numpy.asarray(W4 * A4)
     stim4 = rng.randn(T4, 1).astype(np.float32)
     S, _ = pop.simulate(jax.random.PRNGKey(5), true, T4, stim=stim4)
     data4 = pop.prepare_data(S, stim=stim4)
@@ -151,6 +193,7 @@ def main():
     samples4, diag4, _ = gibbs_sample(
         pop, data4, jax.random.PRNGKey(5), n_samples=ns, n_warmup=ns,
         chunk_size=min(200, ns),
+        init_params=smart_initialize(pop, data4),
     )
     half = ns // 2
     aris = [adjusted_rand_index(samples4["y"][i], y_true) for i in range(half, ns)]
@@ -174,7 +217,9 @@ def main():
     data5 = pop.prepare_data(S, stim=stim)
     samples5, diag5, _ = gibbs_sample(
         pop, data5, jax.random.PRNGKey(7), n_samples=n5 // 10, thin=10,
-        n_warmup=n5 // 10, chunk_size=min(500, n5 // 10),
+        # warmup = a quarter of the run: with only n/10 warmup the frozen
+        # step size decays into ~0.6 acceptance over the long sampling phase
+        n_warmup=n5 // 4, chunk_size=min(500, n5 // 10),
     )
     report["config5_distance_mcmc"] = {
         "iters": n5 + n5 // 10,

@@ -83,6 +83,22 @@ def test_mcmc_thinning_unaligned_chunks():
     np.testing.assert_allclose(thinned["W"], full["W"][2::3], rtol=1e-12)
 
 
+def test_annealed_warmup_runs():
+    """anneal_frac > 0 tempers the likelihood during warmup (β ramp) and
+    must leave sampling exact and finite; 0.0 (default) is the identity."""
+    spec = make_model("sparse_weighted_model", 3, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 300)
+    data = pop.prepare_data(S)
+    samples, diag, _ = gibbs_sample(
+        pop, data, jax.random.PRNGKey(2), n_samples=15, n_warmup=30,
+        chunk_size=15, anneal_frac=0.5,
+    )
+    assert np.all(np.isfinite(samples["W"]))
+    assert 0.05 < diag["accept_rate_glm"] <= 1.0
+
+
 def test_smart_init_preserves_fixed_A():
     """Fixed-A graphs (complete) never update A downstream, so smart init
     must not threshold it away (advisor round-1 high-severity finding)."""

@@ -28,6 +28,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+_SEED_MODE = "prior_mean"  # birth-death Newton seed; see update_adjacency_collapsed
+
 __all__ = [
     "compute_psi",
     "update_adjacency",
@@ -103,11 +105,12 @@ def rest_current(pop, params, data) -> jax.Array:
     return I
 
 
-def update_adjacency(key, pop, params, data, row_batch=None):
+def update_adjacency(key, pop, params, data, row_batch=None, beta=1.0):
     """Collapsed-Gibbs sweep over all N² adjacency entries.
 
-    p(A[n,m]=1 | rest) ∝ p_prior(n,m) · exp(LL_n(I_rest + ψ·W added))
-    — sampled row-parallel / entry-sequential as described above.
+    p(A[n,m]=1 | rest) ∝ p_prior(n,m) · exp(β·LL_n(I_rest + ψ·W added))
+    — sampled row-parallel / entry-sequential as described above. ``beta``
+    tempers the LIKELIHOOD only (annealed warmup; 1.0 = exact posterior).
     """
     if pop.graph.fixed_A:
         return params
@@ -135,7 +138,7 @@ def update_adjacency(key, pop, params, data, row_batch=None):
             m, k = inp
             contrib = W_n[m] * psi_n[:, m]
             I_wo = I_n - A_n[m] * contrib
-            delta = ll_of(I_wo + contrib, S_n) - ll_of(I_wo, S_n)
+            delta = beta * (ll_of(I_wo + contrib, S_n) - ll_of(I_wo, S_n))
             logit_post = delta + logit_n[m]
             a_new = jax.random.bernoulli(k, jax.nn.sigmoid(logit_post)).astype(A_n.dtype)
             I_n = I_wo + a_new * contrib
@@ -156,7 +159,7 @@ def update_adjacency(key, pop, params, data, row_batch=None):
 
 def update_adjacency_collapsed(
     key, pop, params, data, n_newton: int = 8, return_accept: bool = False,
-    row_batch=None,
+    row_batch=None, beta=1.0,
 ):
     """Joint (A[n,m], W[n,m]) birth–death update — the mixing-correct
     counterpart of the reference's *collapsed* adjacency Gibbs (SURVEY.md §2
@@ -184,7 +187,7 @@ def update_adjacency_collapsed(
     if pop.graph.fixed_A:
         return (params, jnp.asarray(1.0)) if return_accept else params
     if not pop.weights.has_W:
-        out = update_adjacency(key, pop, params, data, row_batch=row_batch)
+        out = update_adjacency(key, pop, params, data, row_batch=row_batch, beta=beta)
         return (out, jnp.asarray(1.0)) if return_accept else out
 
     S, dt, nlin, obs = data["S"], pop.dt, pop.nlin, pop.observation
@@ -223,8 +226,12 @@ def update_adjacency_collapsed(
                 a_stat = S_n @ psi_m
 
                 def dll(w):
-                    return a_stat * w - dt * jnp.sum(
-                        E_wo * jnp.expm1(jnp.clip(w * psi_m, -40.0, 40.0))
+                    # β tempers the likelihood term only (annealed warmup)
+                    return beta * (
+                        a_stat * w
+                        - dt * jnp.sum(
+                            E_wo * jnp.expm1(jnp.clip(w * psi_m, -40.0, 40.0))
+                        )
                     )
 
                 # The Newton iterations only shape the PROPOSAL, so they run
@@ -255,15 +262,15 @@ def update_adjacency_collapsed(
                 def dll_grad_hess(w):
                     u = E_s * jnp.exp(jnp.clip(w * psi_s, -40.0, 40.0))
                     return (
-                        a_sub - dt * scale_sub * (u @ psi_s),
-                        -dt * scale_sub * (u @ (psi_s * psi_s)),
+                        beta * (a_sub - dt * scale_sub * (u @ psi_s)),
+                        beta * (-dt * scale_sub * (u @ (psi_s * psi_s))),
                     )
 
             else:
 
                 def dll(w):
                     # ΔLL(w): likelihood gain of the edge at weight w.
-                    return jnp.sum(
+                    return beta * jnp.sum(
                         obs.log_likelihood(S_n, I_wo + w * psi_m, nlin, dt)
                         - obs.log_likelihood(S_n, I_wo, nlin, dt)
                     )
@@ -286,8 +293,9 @@ def update_adjacency_collapsed(
             # below is exact (seeding from the current weight would make
             # q(x'|x) ≠ q(x'), a residual approximation detailed balance
             # can't absorb). Log-concave targets converge from mu in the
-            # n_newton damped steps regardless.
-            w0 = mu
+            # n_newton damped steps regardless. (_SEED_MODE='state' restores
+            # the round-1 state-dependent seed for A/B diagnostics only.)
+            w0 = mu if _SEED_MODE == "prior_mean" else jnp.where(A_n[m] > 0, W_n[m], mu)
 
             def newton(w, _):
                 d1, d2 = g_grad_hess(w)

@@ -161,10 +161,12 @@ def cross_validate_lambda(
     reference's single contiguous train/validation split; ``n_folds>1`` runs
     contiguous-block k-fold (validation block rotates, training happens on
     the remaining segments, whose likelihoods add — each segment keeps its
-    own causal design so fold seams are exact). λ's are fitted largest-first
-    with warm starts (the lasso-path convention): each fit initializes from
-    the previous λ's solution, which both speeds convergence and removes the
-    flat-score degeneracy of cold restarts.
+    own causal design so fold seams are exact). λ's are fitted
+    smallest-first with warm starts: each fit initializes from the previous
+    (denser) λ's solution. Ascending order matters because the joint
+    objective is nonconvex (impulse filters co-adapt): descending order can
+    warm-start every fit from an all-zero-coupling solution whose filters
+    have adapted to no coupling, and the path never escapes it.
 
     Returns (best_lambda, fits, scores): ``fits`` are fold-0 fits per λ,
     ``scores`` the mean held-out log-lik per λ (same order as ``lambdas``).
@@ -189,7 +191,7 @@ def cross_validate_lambda(
             S[sl], stim=None if stim is None else stim[sl]
         )
 
-    order = sorted(range(len(lambdas)), key=lambda i: -float(lambdas[i]))
+    order = sorted(range(len(lambdas)), key=lambda i: float(lambdas[i]))
     scores_sum = [0.0] * len(lambdas)
     fits_fold0 = [None] * len(lambdas)
     for fold_i, (train_sls, val_sl) in enumerate(folds):

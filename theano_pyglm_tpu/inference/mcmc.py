@@ -46,7 +46,14 @@ from theano_pyglm_tpu.inference.hmc import (
 )
 from theano_pyglm_tpu.utils.dtypes import default_float
 
-__all__ = ["make_sweep", "gibbs_sample", "init_mcmc_state", "warmup_schedule", "adapt_boundary"]
+__all__ = [
+    "make_sweep",
+    "gibbs_sample",
+    "init_mcmc_state",
+    "warmup_schedule",
+    "anneal_schedule",
+    "adapt_boundary",
+]
 
 
 def warmup_schedule(n_warmup: int):
@@ -194,7 +201,7 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
             opt = {**opt, "w_stim": opt["w_stim"] @ R_inv_T}
         return opt
 
-    def sweep(key, state, adapt):
+    def sweep(key, state, adapt, beta=1.0):
         params = state["params"]
         k_blocks, k_wh, k_w, k_a, k_y, k_hyp, k_rho = jax.random.split(key, 7)
         block_keys = jax.random.split(k_blocks, len(_HMC_BLOCKS))
@@ -225,11 +232,11 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
                     ll = jnp.sum(
                         pop.observation.log_likelihood(data["S"], I, pop.nlin, pop.dt)
                     )
-                    return ll + pop.bias.log_prior(p) + pop.bkgd.log_prior(p)
+                    return beta * ll + pop.bias.log_prior(p) + pop.bkgd.log_prior(p)
             else:  # 'imp' — needs the coupling contraction, use the full LL
                 def logp(o, frozen=frozen):
                     p = {**frozen, **o}
-                    return pop.log_likelihood(p, data) + pop.impulse.log_prior(p)
+                    return beta * pop.log_likelihood(p, data) + pop.impulse.log_prior(p)
 
             h = _fresh_block_state(state[name], opt, logp(opt))
             h = hmc_adaptive_step(
@@ -243,7 +250,9 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
         # 3–5. discrete machinery + conjugate hypers
         params = update_weight_hypers(k_wh, pop, params)
         params = refresh_disconnected_weights(k_w, pop, params)
-        params = update_adjacency_collapsed(k_a, pop, params, data, row_batch=row_batch)
+        params = update_adjacency_collapsed(
+            k_a, pop, params, data, row_batch=row_batch, beta=beta
+        )
         params = update_sbm_types(k_y, pop, params)
         params = update_sbm_hypers(k_hyp, pop, params)
         params = update_er_rho(k_rho, pop, params)
@@ -269,25 +278,49 @@ def thin_chunk(samples, thin: int, phase: int):
     return jax.tree.map(lambda x: x[start::thin], samples)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 5))
-def _run_chunk(sweep, n_iters, key, state, adapt, collect_every):
-    """Run ``n_iters`` sweeps under lax.scan, collecting thinned params."""
+def anneal_schedule(n_warmup: int, anneal_frac: float):
+    """Likelihood-tempering warmup schedule: β ramps linearly from ~0 to 1
+    over the first ``anneal_frac`` of warmup, then stays at 1. At small β
+    the posterior is prior-dominated and nearly flat, so the chain drifts
+    freely instead of committing to whichever mode the first few sweeps
+    stumbled into — the standard annealing escape for the multimodal
+    (A, W, filters) joint (0.0 disables; exactness is untouched because
+    sampling always runs at β=1)."""
+    if anneal_frac <= 0.0:
+        return None
+    ramp = max(1, int(round(anneal_frac * n_warmup)))
 
-    def body(carry, k):
+    def beta_at(it):  # global warmup iteration index
+        return min(1.0, (it + 1) / ramp)
+
+    return beta_at
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def _run_chunk(sweep, n_iters, key, state, adapt, collect_every, betas=None):
+    """Run ``n_iters`` sweeps under lax.scan, collecting thinned params."""
+    if betas is None:
+        betas = jnp.ones((n_iters,))
+
+    def body(carry, inp):
         state, it = carry
-        state = sweep(k, state, adapt)
+        k, beta = inp
+        state = sweep(k, state, adapt, beta)
         return (state, it + 1), None
 
-    def body_collect(carry, k):
+    def body_collect(carry, inp):
         state, it = carry
-        state = sweep(k, state, adapt)
+        k, beta = inp
+        state = sweep(k, state, adapt, beta)
         return (state, it + 1), state["params"]
 
     keys = jax.random.split(key, n_iters)
     if collect_every == 0:
-        (state, _), _ = jax.lax.scan(body, (state, jnp.asarray(0)), keys)
+        (state, _), _ = jax.lax.scan(body, (state, jnp.asarray(0)), (keys, betas))
         return state, None
-    (state, _), samples = jax.lax.scan(body_collect, (state, jnp.asarray(0)), keys)
+    (state, _), samples = jax.lax.scan(
+        body_collect, (state, jnp.asarray(0)), (keys, betas)
+    )
     return state, samples
 
 
@@ -308,6 +341,7 @@ def gibbs_sample(
     checkpoint_every: int = 0,
     resume: bool = False,
     row_batch: Optional[int] = None,
+    anneal_frac: float = 0.0,
 ):
     """Full Bayesian inference (≅ ``gibbs_sample(population, data, N)``).
 
@@ -385,6 +419,7 @@ def gibbs_sample(
 
     # --- warmup (no collection), with Stan-style adaptation windows
     boundaries = warmup_schedule(n_warmup)
+    beta_at = anneal_schedule(n_warmup, anneal_frac)
     while it_global < n_warmup:
         next_stop = min(
             [n_warmup] + [b for b, _ in boundaries if b > it_global]
@@ -392,7 +427,11 @@ def gibbs_sample(
         n = min(chunk_size, next_stop - it_global)
         k_run, k = jax.random.split(k_run)
         prev_it = it_global
-        state, _ = _run_chunk(sweep, n, k, state, jnp.asarray(True), 0)
+        betas = (
+            None if beta_at is None
+            else jnp.asarray([beta_at(it_global + i) for i in range(n)])
+        )
+        state, _ = _run_chunk(sweep, n, k, state, jnp.asarray(True), 0, betas)
         it_global += n
         for b, action in boundaries:
             if prev_it < b <= it_global:

@@ -31,6 +31,34 @@ def _xcorr_coupling(S: jax.Array, L: int) -> jax.Array:
     return acc / jnp.maximum(denom, 1e-12)
 
 
+def _kmeans_labels(emb, K, n_iter: int = 50, seed: int = 0):
+    """Tiny deterministic Lloyd's k-means on the spectral embedding
+    (host-side init utility — numpy, no sklearn dependency)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # k-means++-style seeding
+    centers = [emb[rng.randint(len(emb))]]
+    for _ in range(K - 1):
+        d2 = np.min(
+            [np.sum((emb - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        p = d2 / max(d2.sum(), 1e-12)
+        centers.append(emb[rng.choice(len(emb), p=p)])
+    centers = np.stack(centers)
+    labels = np.zeros(len(emb), dtype=np.int64)
+    for _ in range(n_iter):
+        d = ((emb[:, None, :] - centers[None]) ** 2).sum(-1)
+        new = d.argmin(1)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+        for k in range(K):
+            if np.any(labels == k):
+                centers[k] = emb[labels == k].mean(0)
+    return labels
+
+
 def smart_initialize(pop, data, key=None) -> dict:
     """Data-driven initial parameter pytree for ``pop`` given ``data``."""
     if key is None:
@@ -56,6 +84,21 @@ def smart_initialize(pop, data, key=None) -> dict:
         scale = 1.0 / jnp.maximum(jnp.abs(w).max(), 1e-6)
         params["w_stim"] = (w * scale).T
 
+    # --- impulse filters: start at the PRIOR MEAN logits, not a random
+    # draw. For normalized (unit-area softmax) impulses the weight W carries
+    # the magnitude and w_ir only shapes the filter; a random per-pair shape
+    # dilutes every edge's likelihood evidence at the start of MCMC, and
+    # edges that stay off give the filter no gradient to recover by — the
+    # mean (typical, early-peaked) shape correlates with every draw from
+    # the prior and lets strong edges switch on immediately.
+    if pop.impulse.name == "impulse" and "w_ir" in params and (
+        pop.spec.get("impulse", {}).get("type") == "normalized"
+    ):
+        mu_ir = jnp.asarray(pop.spec["impulse"].get("mu", 0.0))
+        params["w_ir"] = jnp.broadcast_to(
+            mu_ir, params["w_ir"].shape
+        ).astype(params["w_ir"].dtype)
+
     # --- coupling from cross-correlograms
     L = min(pop.L_imp, 20)
     xc = _xcorr_coupling(S, L)
@@ -68,6 +111,33 @@ def smart_initialize(pop, data, key=None) -> dict:
             # silently and permanently sever ~75% of edges.
             thresh = jnp.percentile(jnp.abs(xc), 75.0)
             params["A"] = (jnp.abs(xc) >= thresh).astype(params["A"].dtype)
+        if pop.graph.name == "sbm" and "y" in params:
+            # Seed the latent types by spectral clustering of the adjacency
+            # guess, and the block matrix/mixing weights from the implied
+            # counts. Random types make the early Gibbs sweeps
+            # self-reinforcing in the WRONG direction: y junk ⇒ Bm resampled
+            # from junk blocks ⇒ edge prior pushes A toward the junk pattern
+            # ⇒ y junk again — a feedback mode the sampler escapes only by
+            # luck. A block-aware seed points the same feedback loop at the
+            # data's actual structure.
+            import numpy as np
+
+            K = int(pop.spec["network"]["graph"].get("K", 2))
+            A_g = np.asarray(params["A"], dtype=np.float64)
+            M = A_g + A_g.T
+            M = M - M.mean()
+            _, vecs = np.linalg.eigh(M)
+            emb = vecs[:, -K:]  # top-K eigenvectors
+            y = _kmeans_labels(emb, K)
+            onehot = np.eye(K)[y]
+            counts = onehot.sum(0)
+            pi = (counts + 1.0) / (counts.sum() + K)
+            edges = onehot.T @ A_g @ onehot
+            pairs = np.outer(counts, counts)
+            Bm = np.clip((edges + 1.0) / (pairs + 2.0), 1e-3, 1 - 1e-3)
+            params["y"] = jnp.asarray(y, params["y"].dtype)
+            params["pi"] = jnp.asarray(pi, params["pi"].dtype)
+            params["Bm"] = jnp.asarray(Bm, params["Bm"].dtype)
     elif pop.impulse.name == "impulse" and "w_ir" in params:
         # constant-weight models: put the correlation structure into the
         # impulse weights' overall scale (first basis column).

@@ -45,15 +45,18 @@ def _to_host(x):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 5))
-def _run_chunk_chains(vsweep, n_iters, key, states, adapt, collect):
+def _run_chunk_chains(vsweep, n_iters, key, states, adapt, collect, betas=None):
     n_chains = states["glm"].t.shape[0]
+    if betas is None:
+        betas = jnp.ones((n_iters,))
 
-    def body(carry, k):
-        states = vsweep(jax.random.split(k, n_chains), carry, adapt)
+    def body(carry, inp):
+        k, beta = inp
+        states = vsweep(jax.random.split(k, n_chains), carry, adapt, beta)
         return states, (states["params"] if collect else None)
 
     keys = jax.random.split(key, n_iters)  # (n, 2)
-    states, samples = jax.lax.scan(body, states, keys)
+    states, samples = jax.lax.scan(body, states, (keys, betas))
     return states, samples
 
 
@@ -77,6 +80,7 @@ def gibbs_sample_chains(
     checkpoint_every: int = 0,
     resume: bool = False,
     row_batch: Optional[int] = None,
+    anneal_frac: float = 0.0,
 ):
     """Run ``n_chains`` independent Gibbs/HMC chains, sharded over ``mesh``.
 
@@ -99,13 +103,13 @@ def gibbs_sample_chains(
     sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept,
                        row_batch=row_batch)
 
-    def vsweep(keys, states, adapt):
+    def vsweep(keys, states, adapt, beta):
         if mesh is not None:
             # per-chain keys must ride the same sharding as the chain state
             keys = jax.lax.with_sharding_constraint(
                 keys, NamedSharding(mesh, P("chains"))
             )
-        return jax.vmap(sweep, in_axes=(0, 0, None))(keys, states, adapt)
+        return jax.vmap(sweep, in_axes=(0, 0, None, None))(keys, states, adapt, beta)
 
     chain_keys = jax.random.split(key, n_chains + 2)
     if init_params is None:
@@ -187,6 +191,10 @@ def gibbs_sample_chains(
         os.makedirs(checkpoint_dir, exist_ok=True)
         save_checkpoint(checkpoint_dir, it_g, host_states, k_base)
 
+    from theano_pyglm_tpu.inference.mcmc import anneal_schedule
+
+    beta_at = anneal_schedule(n_warmup, anneal_frac)
+
     def run_phase(k_base, phase_start, total, adapt, collect, boundaries=()):
         nonlocal states, it_global
         it = it_global - phase_start
@@ -195,7 +203,13 @@ def gibbs_sample_chains(
             n = min(chunk_size, next_stop - it)
             k_base, k = jax.random.split(k_base)
             prev_it = it
-            states, samples = _run_chunk_chains(vsweep, n, k, states, adapt, collect)
+            betas = (
+                None if (collect or beta_at is None)
+                else jnp.asarray([beta_at(prev_it + i) for i in range(n)])
+            )
+            states, samples = _run_chunk_chains(
+                vsweep, n, k, states, adapt, collect, betas
+            )
             for b, action in boundaries:
                 if prev_it < b <= prev_it + n:
                     states = adapt_boundary(states, action)
