@@ -215,23 +215,28 @@ def update_adjacency_collapsed(
             mu, sig = mu_n[m], sig_n[m]
 
             if fast_path:
-                # Closed forms for the exp-Poisson GLM: with E = e^{I_wo} and
-                # a = Σ_t S_t ψ_t,
-                #   ΔLL(w)   = a·w − dt·Σ E·(e^{wψ} − 1)
-                #   ΔLL'(w)  = a − dt·Σ E ψ e^{wψ}
-                #   ΔLL''(w) = −dt·Σ E ψ² e^{wψ}
-                # — one fused T-pass per Newton step instead of nested
-                # autodiff (3× fewer passes, far simpler XLA graph).
-                E_wo = jnp.exp(jnp.clip(I_wo, -40.0, 40.0))
-                a_stat = S_n @ psi_m
+                # Closed forms for the exp-Poisson GLM with the CLIPPED-exp
+                # model (λ = e^{clip(I)}, log λ = clip(I) — see make_nlin):
+                #   ΔLL(w) = Σ S·(clip(I_wo+wψ) − clip(I_wo))
+                #            − dt·Σ (e^{clip(I_wo+wψ)} − e^{clip(I_wo)})
+                # — one fused T-pass per evaluation instead of nested
+                # autodiff. The clip on the COMBINED exponent (not per-term)
+                # both matches the likelihood the HMC blocks sample — the MH
+                # ratio stays exact even when an excursion saturates the
+                # clip — and bounds every exp at e^40 so the f32 reduction
+                # cannot overflow to inf (inf−inf ⇒ NaN ⇒ the permanently
+                # rejecting frozen chain observed on the round-2 flagship).
+                I_wo_c = jnp.clip(I_wo, -40.0, 40.0)
+                E_wo = jnp.exp(I_wo_c)
+                sum_E_wo = jnp.sum(E_wo)
+                sum_S_Iwo = S_n @ I_wo_c
 
                 def dll(w):
                     # β tempers the likelihood term only (annealed warmup)
+                    I1 = jnp.clip(I_wo + w * psi_m, -40.0, 40.0)
                     return beta * (
-                        a_stat * w
-                        - dt * jnp.sum(
-                            E_wo * jnp.expm1(jnp.clip(w * psi_m, -40.0, 40.0))
-                        )
+                        (S_n @ I1 - sum_S_Iwo)
+                        - dt * (jnp.sum(jnp.exp(I1)) - sum_E_wo)
                     )
 
                 # The Newton iterations only shape the PROPOSAL, so they run
@@ -246,7 +251,7 @@ def update_adjacency_collapsed(
                 T_sub = min(T_full, 16384)
                 scale_sub = T_full / T_sub
                 if T_sub == T_full:
-                    psi_s, E_s, S_s = psi_m, E_wo, S_n
+                    psi_s, I_s, S_s = psi_m, I_wo, S_n
                 else:
                     blk = 2048
                     n_blk = T_sub // blk
@@ -255,12 +260,14 @@ def update_adjacency_collapsed(
                         for j in range(n_blk)
                     ]
                     psi_s = jnp.concatenate([psi_m[o : o + blk] for o in offs])
-                    E_s = jnp.concatenate([E_wo[o : o + blk] for o in offs])
+                    I_s = jnp.concatenate([I_wo[o : o + blk] for o in offs])
                     S_s = jnp.concatenate([S_n[o : o + blk] for o in offs])
                 a_sub = (S_s @ psi_s) * scale_sub
 
                 def dll_grad_hess(w):
-                    u = E_s * jnp.exp(jnp.clip(w * psi_s, -40.0, 40.0))
+                    # proposal-shaping only (MH ratio uses dll above); the
+                    # combined-exponent clip keeps u ≤ e^40 (no f32 inf)
+                    u = jnp.exp(jnp.clip(I_s + w * psi_s, -40.0, 40.0))
                     return (
                         beta * (a_sub - dt * scale_sub * (u @ psi_s)),
                         beta * (-dt * scale_sub * (u @ (psi_s * psi_s))),
@@ -359,6 +366,116 @@ def update_adjacency_collapsed(
     out = {**params, "A": A_new, "W": W_new}
     if return_accept:
         return out, jnp.mean(acc)
+    return out
+
+
+def update_glm_laplace(
+    key, pop, params, data, theta0, beta=1.0, n_newton: int = 6,
+    return_accept: bool = False,
+):
+    """Laplace independence-MH for the (bias, w_stim) block — exp-Poisson,
+    none/basis stimulus only.
+
+    The likelihood factorizes over postsynaptic neurons and, given the
+    coupling current, each neuron's (bias_n, w_stim_n) conditional is a
+    CONCAVE Poisson GLM in θ_n = [b_n; w_n] over the design φ_t = [1, x_t]:
+
+        log p(θ_n | rest) = Σ_t S·clip(I₀+φθ) − dt·Σ_t e^{clip(I₀+φθ)}
+                            + log N(θ_n | μ_p, Σ_p) + const.
+
+    Newton (from the STATE-INDEPENDENT seed ``theta0`` — e.g. the MAP init)
+    finds the conditional mode θ*, the proposal is N(θ*, (−H*)⁻¹), and an
+    exact per-neuron MH accept keeps the conditional invariant. No step
+    size exists anywhere: this replaces HMC on a block whose per-neuron
+    Fisher information spans orders of magnitude (rate-dependent), where a
+    single HMC ε gets pinned at ~1e-4 by the stiffest neuron and chains
+    take microscopic steps (the round-2 flagship's R̂-in-the-millions
+    failure). With T in the tens of thousands the Gaussian approximation
+    of the concave conditional is CLT-sharp, so acceptance is near 1 and
+    the draws are near-iid.
+    """
+    S, dt = data["S"], pop.dt
+    T, N = S.shape
+    f = S.dtype
+    if "X_stim" in data:
+        Phi = jnp.concatenate([jnp.ones((T, 1), f), data["X_stim"]], axis=1)
+    else:
+        Phi = jnp.ones((T, 1), f)
+    D = Phi.shape[1]
+
+    bspec = pop.spec.get("bias", {})
+    prior_mu = [float(bspec.get("mu", 2.0))]
+    prior_sd = [float(bspec.get("sigma", 1.0))]
+    if D > 1:
+        kspec = pop.spec.get("bkgd", {})
+        prior_mu += [float(kspec.get("mu", 0.0))] * (D - 1)
+        prior_sd += [float(kspec.get("sigma", 1.0))] * (D - 1)
+    prior_mu = jnp.asarray(prior_mu, f)
+    prior_sd = jnp.asarray(prior_sd, f)
+    prior_prec = 1.0 / (prior_sd * prior_sd)
+
+    d = dict(data)
+    d["_G"] = pop.coupling(params)
+    I0 = pop.impulse.current(params, d)  # (T, N) coupling current
+
+    theta_cur = params["bias"][:, None]
+    if D > 1:
+        theta_cur = jnp.concatenate([theta_cur, params["w_stim"]], axis=1)
+
+    def grad_negH(theta):  # (N,D) -> ((N,D), (N,D,D))
+        I = I0 + Phi @ theta.T
+        Ic = jnp.clip(I, -40.0, 40.0)
+        lam_dt = jnp.exp(Ic) * dt
+        mask = (jnp.abs(I) < 40.0).astype(f)
+        dI = (S - lam_dt) * mask
+        grad = beta * jnp.einsum("tn,td->nd", dI, Phi) - (theta - prior_mu) * prior_prec
+        W = lam_dt * mask
+        negH = beta * jnp.einsum("tn,td,te->nde", W, Phi, Phi) + jnp.diag(prior_prec)
+        return grad, negH
+
+    def newton(theta, _):
+        g, nH = grad_negH(theta)
+        return theta + jnp.linalg.solve(nH, g[..., None])[..., 0], None
+
+    theta_star, _ = jax.lax.scan(newton, theta0, None, length=n_newton)
+    _, negH = grad_negH(theta_star)
+    C = jnp.linalg.cholesky(negH)  # (N, D, D) lower, C Cᵀ = −H*
+    log_det_C = jnp.sum(jnp.log(jnp.diagonal(C, axis1=1, axis2=2)), axis=1)
+
+    k_z, k_u = jax.random.split(key)
+    z = jax.random.normal(k_z, (N, D), f)
+    # θ' = θ* + C⁻ᵀ z  ⇒  cov = C⁻ᵀ C⁻¹ = (−H*)⁻¹
+    delta = jax.vmap(
+        lambda Cn, zn: jax.scipy.linalg.solve_triangular(Cn.T, zn, lower=False)
+    )(C, z)
+    theta_prop = theta_star + delta
+
+    def log_q(theta):
+        r = jnp.einsum("nij,ni->nj", C, theta - theta_star)  # Cᵀ(θ−θ*)
+        return log_det_C - 0.5 * jnp.sum(r * r, axis=1)
+
+    def log_target(theta):
+        I = I0 + Phi @ theta.T
+        Ic = jnp.clip(I, -40.0, 40.0)
+        ll = jnp.sum(S * Ic, axis=0) - dt * jnp.sum(jnp.exp(Ic), axis=0)  # (N,)
+        zp = (theta - prior_mu) / prior_sd
+        return beta * ll - 0.5 * jnp.sum(zp * zp, axis=1)
+
+    t_prop = log_target(theta_prop)
+    t_cur = log_target(theta_cur)
+    # non-finite current target = escape hatch (accept any finite proposal);
+    # non-finite proposal = reject
+    t_cur = jnp.where(jnp.isfinite(t_cur), t_cur, -jnp.inf)
+    t_prop = jnp.where(jnp.isfinite(t_prop), t_prop, -jnp.inf)
+    log_alpha = t_prop - log_q(theta_prop) - t_cur + log_q(theta_cur)
+    accept = jnp.log(jax.random.uniform(k_u, (N,), f)) < log_alpha
+    theta_new = jnp.where(accept[:, None], theta_prop, theta_cur)
+
+    out = {**params, "bias": theta_new[:, 0]}
+    if D > 1:
+        out["w_stim"] = theta_new[:, 1:]
+    if return_accept:
+        return out, jnp.mean(accept.astype(f))
     return out
 
 

@@ -34,6 +34,7 @@ from theano_pyglm_tpu.inference.gibbs import (
     update_adjacency,
     update_adjacency_collapsed,
     update_er_rho,
+    update_glm_laplace,
     update_sbm_hypers,
     update_sbm_types,
     update_weight_hypers,
@@ -54,6 +55,22 @@ __all__ = [
     "anneal_schedule",
     "adapt_boundary",
 ]
+
+
+def _glm_theta0(pop, data, fisher_params):
+    """State-independent Newton seed for the glm Laplace-MH block: the
+    init/MAP (bias, w_stim) if available, else the prior means."""
+    f = default_float()
+    D = 1 + (data["X_stim"].shape[1] if "X_stim" in data else 0)
+    if fisher_params is not None and "bias" in fisher_params:
+        th = jnp.asarray(fisher_params["bias"], f)[:, None]
+        if D > 1:
+            th = jnp.concatenate([th, jnp.asarray(fisher_params["w_stim"], f)], axis=1)
+        return th
+    bmu = float(pop.spec.get("bias", {}).get("mu", 2.0))
+    smu = float(pop.spec.get("bkgd", {}).get("mu", 0.0))
+    row = jnp.asarray([bmu] + [smu] * (D - 1), f)
+    return jnp.broadcast_to(row, (pop.N, D))
 
 
 def warmup_schedule(n_warmup: int):
@@ -165,7 +182,7 @@ def init_mcmc_state(pop, params, step_size: float = 0.02) -> dict:
 
 
 def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
-               row_batch=None):
+               row_batch=None, fisher_params: Optional[dict] = None):
     """Build the jitted one-iteration Gibbs sweep (see module docstring).
 
     Returns ``sweep(key, state, adapt) -> state`` with ``adapt`` a traced
@@ -175,16 +192,36 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
     rows at a time (lax.map) instead of all-at-once (vmap) — bounds the ψ
     working set to row_batch·T·N for long recordings (SURVEY.md §5
     long-context row).
+
+    ``fisher_params``: parameters at which to evaluate the rates for FISHER
+    preconditioning of the glm block (below); typically the MAP/smart init.
     """
-    # Whitening substitution for the stimulus weights: overlapping basis
-    # columns make X_stim's columns strongly correlated, which a diagonal
-    # preconditioner cannot fix. The glm block therefore samples
-    # w̃ = w_stim Rᵀ where R = chol(XᵀX/T + λI): the whitened design has
-    # near-isotropic curvature. Exact change of variables with constant
-    # Jacobian (drops from MH ratios); the model/prior are untouched — only
-    # the HMC coordinates change.
+    # The glm (bias, w_stim) block: for the exp-Poisson model with a plain
+    # (none/basis) stimulus, the per-neuron conditional is a CONCAVE GLM, so
+    # it is sampled by a Laplace independence-MH (gibbs.update_glm_laplace)
+    # — Newton to the conditional mode, Gaussian proposal at the mode, exact
+    # MH — with no step size anywhere. HMC on this block is structurally
+    # fragile: the per-neuron Fisher spans orders of magnitude (rate-
+    # dependent), pinning a global ε at ~1e-4 where chains move
+    # microscopically (round-2 flagship: R̂ in the millions from chains
+    # parked at their inits). Other variants fall back to HMC with the
+    # X-gram whitening below.
+    glm_laplace = (
+        pop.nlin.name == "exp"
+        and pop.observation.name == "poisson"
+        and pop.spec.get("bkgd", {}).get("type", "none") in ("none", "basis")
+    )
+    theta0 = None
+    if glm_laplace:
+        theta0 = _glm_theta0(pop, data, fisher_params)
+
+    # Whitening substitution for the stimulus weights (HMC fallback only):
+    # overlapping basis columns make X_stim's columns strongly correlated,
+    # which a diagonal preconditioner cannot fix. The glm block then samples
+    # w̃ = w_stim Rᵀ where R = chol(XᵀX/T + λI). Exact change of variables
+    # with constant Jacobian; the model/prior are untouched.
     R_inv_T = None
-    if "X_stim" in data:
+    if "X_stim" in data and not glm_laplace:
         X = data["X_stim"]
         gram = (X.T @ X) / X.shape[0] + 1e-6 * jnp.eye(X.shape[1], dtype=X.dtype)
         R = jnp.linalg.cholesky(gram)
@@ -214,6 +251,15 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
         # so its 2L gradient evals cost only a small matmul + Poisson reduce.
         for (name, keys), k_b in zip(_HMC_BLOCKS, block_keys):
             if name not in state:
+                continue
+            if name == "glm" and glm_laplace:
+                params, acc = update_glm_laplace(
+                    k_b, pop, params, data, theta0, beta=beta, return_accept=True
+                )
+                opt, _ = _partition(params, keys)
+                new_state["glm"] = _fresh_block_state(
+                    state["glm"], opt, jnp.asarray(0.0, default_float())
+                )._replace(accept_rate=acc)
                 continue
             opt, frozen = _partition(params, keys)
             if name == "latent":
@@ -365,7 +411,7 @@ def gibbs_sample(
         init_params = pop.sample(key)
 
     sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept,
-                       row_batch=row_batch)
+                       row_batch=row_batch, fisher_params=init_params)
     state = init_mcmc_state(pop, init_params, step_size=step_size)
     total = n_samples * thin
     it_global = 0  # warmup iters count 0..n_warmup, then sampling continues

@@ -251,12 +251,20 @@ def make_nlin(spec: dict) -> Nonlinearity:
     (the reference's soft-rectifying 'explinear', log(1+e^x))."""
     typ = spec.get("type", "exp")
     if typ == "exp":
-        # Clamp the exponent so a pathological parameter region (|I| > 40 ⇒
-        # rate beyond 2e17 spikes/s) yields a finite, still-decreasing
-        # objective instead of inf/nan — keeps MAP/HMC trajectories
-        # recoverable. Within any plausible region the clamp is inactive, so
-        # likelihood values are unaffected (1e-6 parity holds).
-        return Nonlinearity("exp", lambda I: jnp.exp(jnp.clip(I, -40.0, 40.0)), lambda I: I)
+        # The model is λ = exp(clip(I, ±40)) — and log λ MUST be the same
+        # clip(I), not raw I. With log_rate = I the Poisson LL
+        # S·log λ − λ·dt grows LINEARLY in I beyond the clip on any spiking
+        # bin (the rate cost freezes at e^40·dt while the S·I term keeps
+        # rising): an unbounded degenerate direction that HMC/birth-death
+        # excursions can ride to |W|~100 and a frozen chain (observed on a
+        # flagship chain, round 2). Clipping both keeps the posterior
+        # proper; within any plausible region (|I| < 40 ⇔ rates below
+        # 2e17 sp/s) the clamp is inactive and 1e-6 parity holds.
+        return Nonlinearity(
+            "exp",
+            lambda I: jnp.exp(jnp.clip(I, -40.0, 40.0)),
+            lambda I: jnp.clip(I, -40.0, 40.0),
+        )
     if typ in ("softplus", "explinear"):
 
         def rate(I):

@@ -77,6 +77,7 @@ def _fwd_kernel(x_ref, u_ref, irest_ref, s_ref, logdt_ref, out_ref, acc_ref):
         acc_ref[0] = jnp.float32(0.0)
 
     I = irest_ref[:] + jnp.dot(x_ref[:], u_ref[:], preferred_element_type=jnp.float32)
+    I = jnp.clip(I, -40.0, 40.0)  # the model's clipped-exp (see make_nlin)
     ll = s_ref[:] * (I + logdt_ref[0]) - jnp.exp(I) * jnp.exp(logdt_ref[0])
     acc_ref[0] += jnp.sum(ll)
 
@@ -107,10 +108,12 @@ def _vg_kernel(x_ref, u_ref, irest_ref, s_ref, logdt_ref,
         acc_ll[0] = jnp.float32(0.0)
         acc_du[:] = jnp.zeros_like(acc_du)
 
-    I = irest_ref[:] + jnp.dot(x_ref[:], u_ref[:], preferred_element_type=jnp.float32)
+    I_raw = irest_ref[:] + jnp.dot(x_ref[:], u_ref[:], preferred_element_type=jnp.float32)
+    I = jnp.clip(I_raw, -40.0, 40.0)  # clipped-exp model (see make_nlin)
     E = jnp.exp(I) * jnp.exp(logdt_ref[0])
     acc_ll[0] += jnp.sum(s_ref[:] * (I + logdt_ref[0]) - E)
-    dI = s_ref[:] - E
+    # the clip's gradient is 0 outside the active range
+    dI = jnp.where(jnp.abs(I_raw) < 40.0, s_ref[:] - E, 0.0)
     direst_ref[:] = dI
     acc_du[:] += jnp.dot(x_ref[:].T, dI, preferred_element_type=jnp.float32)
 
@@ -164,12 +167,13 @@ def _vg_chains_xla(x_f, u, i_rest, s, dt):
     block is revisited at every time tile there, forcing a VMEM->HBM
     write-back per grid step)."""
     u_c = u.astype(x_f.dtype) if x_f.dtype == jnp.bfloat16 else u
-    I = i_rest + jnp.einsum("tm,cmn->ctn", x_f, u_c,
-                            preferred_element_type=jnp.float32)
+    I_raw = i_rest + jnp.einsum("tm,cmn->ctn", x_f, u_c,
+                                preferred_element_type=jnp.float32)
+    I = jnp.clip(I_raw, -40.0, 40.0)  # clipped-exp model (see make_nlin)
     logdt = jnp.float32(np.log(dt))
     E = jnp.exp(I) * jnp.exp(logdt)
     ll = jnp.sum(s[None] * (I + logdt) - E, axis=(1, 2))
-    dI = s[None] - E  # (C, T, N)
+    dI = jnp.where(jnp.abs(I_raw) < 40.0, s[None] - E, 0.0)  # (C, T, N)
     dI_c = dI.astype(x_f.dtype) if x_f.dtype == jnp.bfloat16 else dI
     du = jnp.einsum("tm,ctn->cmn", x_f, dI_c,
                     preferred_element_type=jnp.float32)
@@ -210,6 +214,7 @@ def _ll_chains_xla(x_f, u, i_rest, s, dt):
     u_c = u.astype(x_f.dtype) if x_f.dtype == jnp.bfloat16 else u
     I = i_rest + jnp.einsum("tm,cmn->ctn", x_f, u_c,
                             preferred_element_type=jnp.float32)
+    I = jnp.clip(I, -40.0, 40.0)  # clipped-exp model (see make_nlin)
     logdt = jnp.float32(np.log(dt))
     ll = s[None] * (I + logdt) - jnp.exp(I) * jnp.exp(logdt)
     return jnp.sum(ll, axis=(1, 2))

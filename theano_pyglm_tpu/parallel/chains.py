@@ -32,6 +32,38 @@ from theano_pyglm_tpu.utils.diagnostics import summarize_chains
 __all__ = ["gibbs_sample_chains"]
 
 
+def _share_adaptation(states):
+    """Consensus adaptation at the warmup→sampling boundary: every chain
+    samples with the ACROSS-CHAIN MEDIAN step size and diagonal mass.
+
+    Chains are exchangeable runs of the same kernel, so sharing a fixed
+    (post-warmup) step size/mass is valid MCMC — and it removes the
+    adaptation-luck failure mode where one chain's dual averaging ends at a
+    step size the post-warmup region rejects outright and that chain
+    freezes for the whole sampling phase (observed on the round-2 flagship:
+    frozen glm blocks with per-chain ε, R̂ in the hundreds)."""
+    out = dict(states)
+    for name in out:
+        h = out[name]
+        if not hasattr(h, "step_size"):
+            continue
+        # during sampling hmc_adaptive_step derives ε from log_eps_avg each
+        # step (the frozen dual-averaging iterate), so THAT is what must be
+        # shared; step_size is set too for consistency of diagnostics
+        med_log_eps = jnp.median(h.log_eps_avg)
+        out[name] = h._replace(
+            step_size=jnp.full_like(h.step_size, jnp.exp(med_log_eps)),
+            log_eps_avg=jnp.full_like(h.log_eps_avg, med_log_eps),
+            scale=jax.tree.map(
+                lambda s: jnp.broadcast_to(
+                    jnp.median(s, axis=0, keepdims=True), s.shape
+                ),
+                h.scale,
+            ),
+        )
+    return out
+
+
 def _to_host(x):
     """Device → host numpy, multi-host aware: a globally-sharded array
     (chains spread over processes, parallel/distributed.py) is all-gathered
@@ -101,7 +133,7 @@ def gibbs_sample_chains(
         n_warmup = max(100, n_samples // 5)
 
     sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept,
-                       row_batch=row_batch)
+                       row_batch=row_batch, fisher_params=init_params)
 
     def vsweep(keys, states, adapt, beta):
         if mesh is not None:
@@ -227,6 +259,10 @@ def gibbs_sample_chains(
 
     if it_global < n_warmup:
         run_phase(k_warm, 0, n_warmup, jnp.asarray(True), False, warmup_schedule(n_warmup))
+    if it_global == n_warmup:
+        # idempotent, and also covers a resume from a checkpoint that
+        # landed exactly on the warmup/sampling boundary (pre-sharing)
+        states = _share_adaptation(states)
     run_phase(k_samp, n_warmup, total_sampling, jnp.asarray(False), True)
 
     samples = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *host_chunks)
