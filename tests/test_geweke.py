@@ -153,36 +153,180 @@ def test_geweke_weight_hypers():
     assert abs(mu.mean()) < 0.4, mu.mean()
 
 
-@pytest.mark.slow
-def test_geweke_with_stimulus_whitening():
-    """The whitened-coordinate HMC substitution for w_stim must leave the
-    posterior untouched — the successive-conditional chain with a stimulus
-    component must still preserve the prior N(0, 0.5) on w_stim."""
-    N, T = 2, 60
-    spec = make_model("sparse_weighted_model", N)
-    pop = Population(spec)
+def _geweke_stim_chain(pop, T, n_iter, key, stim, step_size=0.05,
+                       glm_update="auto", n_leapfrog=5):
     params = pop.sample(jax.random.PRNGKey(0))
-    rng = np.random.RandomState(0)
-    stim = jnp.asarray(rng.randn(T, 1))
 
     def joint_step(carry, k):
         state, params = carry
         k1, k2 = jax.random.split(k)
         S, _ = pop.simulate(k1, params, T, stim=stim)
         data = pop.prepare_data(S, stim=stim)
-        sweep = make_sweep(pop, data, n_leapfrog=5)
+        sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, glm_update=glm_update)
         state = dict(state)
         state["params"] = params
         state = sweep(k2, state, jnp.asarray(False))
         return (state, state["params"]), state["params"]
 
-    state = init_mcmc_state(pop, params, step_size=0.05)
-    keys = jax.random.split(jax.random.PRNGKey(11), 2000)
+    state = init_mcmc_state(pop, params, step_size=step_size)
+    keys = jax.random.split(key, n_iter)
     (_, _), samples = jax.jit(
         lambda carry, ks: jax.lax.scan(joint_step, carry, ks)
     )((state, params), keys)
+    return samples
+
+
+@pytest.mark.slow
+def test_geweke_with_stimulus_whitening():
+    """The whitened-coordinate HMC substitution for w_stim must leave the
+    posterior untouched. glm_update='hmc' FORCES the whitened-HMC fallback
+    (by default the Laplace block owns this model), so this is the
+    stationarity test of that code path — the chain must preserve the prior
+    N(0, 0.5) on w_stim."""
+    N, T = 2, 60
+    spec = make_model("sparse_weighted_model", N)
+    pop = Population(spec)
+    rng = np.random.RandomState(0)
+    stim = jnp.asarray(rng.randn(T, 1))
+    samples = _geweke_stim_chain(
+        pop, T, 2000, jax.random.PRNGKey(11), stim, glm_update="hmc"
+    )
     w = np.asarray(samples["w_stim"])[400:]
     n = w.shape[0]
     se = 0.5 / np.sqrt(n / 10)
     assert abs(w.mean()) < 5 * se, w.mean()
     assert abs(w.std() - 0.5) < 0.08, w.std()
+
+
+@pytest.mark.slow
+def test_geweke_glm_laplace_with_stimulus():
+    """The DEFAULT glm update (Laplace independence-MH on (bias, w_stim),
+    gibbs.update_glm_laplace) must preserve the prior — same model as the
+    whitening test, auto path."""
+    N, T = 2, 60
+    spec = make_model("sparse_weighted_model", N)
+    pop = Population(spec)
+    rng = np.random.RandomState(0)
+    stim = jnp.asarray(rng.randn(T, 1))
+    samples = _geweke_stim_chain(pop, T, 2000, jax.random.PRNGKey(12), stim)
+    w = np.asarray(samples["w_stim"])[400:]
+    b = np.asarray(samples["bias"])[400:]
+    n = w.shape[0]
+    se = 0.5 / np.sqrt(n / 10)
+    assert abs(w.mean()) < 5 * se, w.mean()
+    assert abs(w.std() - 0.5) < 0.08, w.std()
+    assert abs(b.mean() - 1.5) < 5 * se, b.mean()
+    assert abs(b.std() - 0.5) < 0.1, b.std()
+
+
+@pytest.mark.slow
+def test_geweke_softplus_laplace():
+    """The generic-curvature Laplace path (gibbs._bin_ll_derivs via
+    elementwise autodiff — no closed form): softplus nonlinearity must
+    preserve the bias prior N(1.5, 0.5) and the coupling priors."""
+    N, T = 2, 60
+    spec = make_model("sparse_weighted_model", N, bkgd={"type": "none"},
+                      nlin={"type": "softplus"})
+    spec["network"]["graph"]["rho"] = 0.4
+    pop = Population(spec)
+    samples = _geweke_chain(pop, T, 2000, jax.random.PRNGKey(13))
+    burn = 400
+    b = np.asarray(samples["bias"])[burn:]
+    A = np.asarray(samples["A"])[burn:]
+    n = b.shape[0]
+    se = lambda sd: sd / np.sqrt(n / 10)
+    assert abs(b.mean() - 1.5) < 5 * se(0.5), b.mean()
+    assert abs(b.std() - 0.5) < 0.1, b.std()
+    assert abs(A.mean() - 0.4) < 5 * se(0.49), A.mean()
+
+
+@pytest.mark.slow
+def test_geweke_spatiotemporal_laplace():
+    """The bilinear two-block Laplace update for the separable
+    spatiotemporal stimulus (gibbs.update_glm_laplace_st) must preserve
+    N(0, 0.5) on both factors."""
+    N, T = 2, 60
+    spec = make_model("spatiotemporal_glm", N)
+    spec["bkgd"]["D_stim"] = 2
+    spec["bkgd"]["basis"] = {"type": "cosine", "n_bas": 3, "a": 1.0, "b": 1.0, "norm": True}
+    pop = Population(spec)
+    rng = np.random.RandomState(0)
+    stim = jnp.asarray(rng.randn(T, 2))
+    samples = _geweke_stim_chain(pop, T, 2500, jax.random.PRNGKey(14), stim)
+    burn = 500
+    ws = np.asarray(samples["w_stim_s"])[burn:]
+    wt = np.asarray(samples["w_stim_t"])[burn:]
+    n = ws.shape[0]
+    se = 0.5 / np.sqrt(n / 10)
+    assert abs(ws.mean()) < 5 * se, ws.mean()
+    assert abs(wt.mean()) < 5 * se, wt.mean()
+    assert abs(ws.std() - 0.5) < 0.1, ws.std()
+    assert abs(wt.std() - 0.5) < 0.1, wt.std()
+
+
+@pytest.mark.slow
+def test_geweke_shared_tuning_laplace():
+    """The shared-tuning-curve block (per-neuron [bias, gain] + global
+    w_shared, gibbs.update_glm_laplace_shared) must preserve
+    w_shared ~ N(0, 0.5) and gain ~ N(1, 0.3)."""
+    N, T = 2, 60
+    spec = make_model("sparse_weighted_model", N)
+    spec["bkgd"] = {
+        "type": "shared", "D_stim": 1, "dt_max": 0.3, "mu": 0.0, "sigma": 0.5,
+        "basis": {"type": "cosine", "n_bas": 3, "a": 1.0, "b": 1.0, "norm": True},
+    }
+    pop = Population(spec)
+    rng = np.random.RandomState(0)
+    stim = jnp.asarray(rng.randn(T, 1))
+    samples = _geweke_stim_chain(pop, T, 2500, jax.random.PRNGKey(15), stim)
+    burn = 500
+    w = np.asarray(samples["w_stim_shared"])[burn:]
+    g = np.asarray(samples["gain"])[burn:]
+    n = w.shape[0]
+    se = 1.0 / np.sqrt(n / 10)
+    assert abs(w.mean()) < 5 * 0.5 * se, w.mean()
+    assert abs(w.std() - 0.5) < 0.1, w.std()
+    assert abs(g.mean() - 1.0) < 5 * 0.3 * se, g.mean()
+    assert abs(g.std() - 0.3) < 0.08, g.std()
+
+
+@pytest.mark.slow
+def test_geweke_bias_ars():
+    """ARS bias draws composed with the device sweep must preserve the
+    bias prior (the stationarity check for inference.ars.update_bias_ars as
+    an inference-path update, not just an exported helper). Host loop —
+    ARS is host-side by design."""
+    from theano_pyglm_tpu.inference.ars import update_bias_ars
+
+    N, T = 2, 60
+    spec = make_model("sparse_weighted_model", N, bkgd={"type": "none"})
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    state = init_mcmc_state(pop, params, step_size=0.03)
+
+    @jax.jit
+    def dev_step(k, state, params):
+        k1, k2 = jax.random.split(k)
+        S, _ = pop.simulate(k1, params, T)
+        data = pop.prepare_data(S)
+        sweep = make_sweep(pop, data, n_leapfrog=5)
+        state = dict(state)
+        state["params"] = params
+        state = sweep(k2, state, jnp.asarray(False))
+        return state, S
+
+    rng = np.random.RandomState(7)
+    keys = jax.random.split(jax.random.PRNGKey(16), 1200)
+    bias_draws = []
+    for k in keys:
+        state, S = dev_step(k, state, params)
+        data = pop.prepare_data(S)
+        params = update_bias_ars(rng, pop, state["params"], data)
+        state = dict(state)
+        state["params"] = params
+        bias_draws.append(np.asarray(params["bias"]))
+    b = np.asarray(bias_draws)[300:]
+    n = b.shape[0]
+    se = 0.5 / np.sqrt(n / 10)
+    assert abs(b.mean() - 1.5) < 5 * se, b.mean()
+    assert abs(b.std() - 0.5) < 0.1, b.std()

@@ -49,8 +49,13 @@ def numpy_log_joint(pop, params, data):
 
     # --- likelihood
     if spec["nlin"]["type"] == "exp":
-        rate = np.exp(I)
-        log_rate = I
+        # The model spec is the CLIPPED exp: λ = exp(clip(I, ±40)) with
+        # log λ = clip(I, ±40) on the combined exponent (ops/clipping.py).
+        # The oracle hardcodes the constant independently so a drift of the
+        # library's EXP_CLIP away from the documented spec fails here.
+        Ic = np.clip(I, -40.0, 40.0)
+        rate = np.exp(Ic)
+        log_rate = Ic
     else:
         rate = np.logaddexp(0.0, I)
         log_rate = np.log(rate)
@@ -129,6 +134,22 @@ def test_oracle_agreement_all_models():
         want = numpy_log_joint(pop, params, data)
         # 1e-6 *relative* agreement (float64 verification mode)
         assert abs(got - want) <= 1e-6 * max(1.0, abs(want)), (name, got, want)
+
+
+def test_oracle_agreement_saturated_regime():
+    """The clipped-exp spec in the regime that caused the round-2 flagship
+    NaN: |I| > 40 on many bins (here forced via an absurd bias). The jitted
+    log-joint must (a) agree with the clipping numpy oracle to 1e-6 and
+    (b) stay finite — with the unclipped oracle the two would disagree by
+    construction, which is exactly what this test exists to catch."""
+    pop, params, data = _setup("sparse_weighted_model", 3)
+    for bias_val in (55.0, -55.0):
+        p = dict(params)
+        p["bias"] = jax.numpy.full_like(params["bias"], bias_val)
+        got = float(pop.log_joint(p, data))
+        want = numpy_log_joint(pop, p, data)
+        assert np.isfinite(got), got
+        assert abs(got - want) <= 1e-6 * max(1.0, abs(want)), (bias_val, got, want)
 
 
 def test_bernoulli_observation_oracle():

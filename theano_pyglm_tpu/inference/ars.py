@@ -116,8 +116,21 @@ def update_bias_ars(rng, pop, params, data):
 
     (I₋ᵦ = total current minus the bias), so ARS samples it exactly — no
     step size, no accept rate. This is the reference's ARS use case
-    (SURVEY.md §2 [M]) wired into this framework's inference surface; the
-    HMC 'glm' block covers the same variable on the jitted device path.
+    (SURVEY.md §2 [M]); it is selectable as the bias update in
+    ``inference.mcmc.gibbs_sample(bias_update='ars')`` (applied host-side
+    between device chunks — composition of invariant kernels), and the
+    Laplace/HMC 'glm' block covers the same variable on the jitted path.
+
+    Clamp caveat (clipped-exp spec, ops/clipping.py): the model's λ is
+    exp(clip(I, ±EXP_CLIP)) on the COMBINED exponent. This conditional uses
+    the unclipped form h(b) = a·b − c·e^b with c = dt·Σ e^{clip(I₋ᵦ)} — the
+    exact clipped conditional is non-log-concave at the clamp kink (e^clip
+    loses convexity where the slope drops to zero), so ARS cannot target it
+    directly. The draw is therefore exact wherever max(I₋ᵦ) + b stays
+    inside the active range — every physically plausible state (bins with
+    I < 40 ⇔ rates below ~2e17 sp/s) — and only approximate for states
+    already saturating the clamp, which the Laplace/birth-death machinery
+    (not ARS) is responsible for escaping.
 
     Returns a new params dict with 'bias' replaced. Host-side (numpy).
     """
@@ -128,8 +141,10 @@ def update_bias_ars(rng, pop, params, data):
     bias = np.asarray(params["bias"], dtype=np.float64)
     I_wo = I - bias[None, :]
     S = np.asarray(data["S"])
+    from theano_pyglm_tpu.ops.clipping import EXP_CLIP
+
     c1 = S.sum(axis=0)  # (N,)
-    c2 = np.exp(np.clip(I_wo, -40.0, 40.0)).sum(axis=0) * pop.dt  # (N,)
+    c2 = np.exp(np.clip(I_wo, -EXP_CLIP, EXP_CLIP)).sum(axis=0) * pop.dt  # (N,)
     bspec = pop.spec.get("bias", {})
     mu = float(bspec.get("mu", 2.0))
     sigma = float(bspec.get("sigma", 1.0))

@@ -28,12 +28,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from theano_pyglm_tpu.ops.clipping import clip_exponent, exp_clipped, exponent_active
+
 _SEED_MODE = "prior_mean"  # birth-death Newton seed; see update_adjacency_collapsed
 
 __all__ = [
     "compute_psi",
     "update_adjacency",
     "update_adjacency_collapsed",
+    "update_glm_laplace",
+    "update_glm_laplace_st",
+    "update_glm_laplace_shared",
     "refresh_disconnected_weights",
     "update_weight_hypers",
     "update_sbm_types",
@@ -226,14 +231,15 @@ def update_adjacency_collapsed(
                 # clip — and bounds every exp at e^40 so the f32 reduction
                 # cannot overflow to inf (inf−inf ⇒ NaN ⇒ the permanently
                 # rejecting frozen chain observed on the round-2 flagship).
-                I_wo_c = jnp.clip(I_wo, -40.0, 40.0)
+                # Clip spec: ops/clipping.py (single source of truth).
+                I_wo_c = clip_exponent(I_wo)
                 E_wo = jnp.exp(I_wo_c)
                 sum_E_wo = jnp.sum(E_wo)
                 sum_S_Iwo = S_n @ I_wo_c
 
                 def dll(w):
                     # β tempers the likelihood term only (annealed warmup)
-                    I1 = jnp.clip(I_wo + w * psi_m, -40.0, 40.0)
+                    I1 = clip_exponent(I_wo + w * psi_m)
                     return beta * (
                         (S_n @ I1 - sum_S_Iwo)
                         - dt * (jnp.sum(jnp.exp(I1)) - sum_E_wo)
@@ -267,7 +273,7 @@ def update_adjacency_collapsed(
                 def dll_grad_hess(w):
                     # proposal-shaping only (MH ratio uses dll above); the
                     # combined-exponent clip keeps u ≤ e^40 (no f32 inf)
-                    u = jnp.exp(jnp.clip(I_s + w * psi_s, -40.0, 40.0))
+                    u = exp_clipped(I_s + w * psi_s)
                     return (
                         beta * (a_sub - dt * scale_sub * (u @ psi_s)),
                         beta * (-dt * scale_sub * (u @ (psi_s * psi_s))),
@@ -369,68 +375,78 @@ def update_adjacency_collapsed(
     return out
 
 
-def update_glm_laplace(
-    key, pop, params, data, theta0, beta=1.0, n_newton: int = 6,
-    return_accept: bool = False,
+def _bin_ll_derivs(S, I, obs, nlin, dt):
+    """Elementwise (d/dI, d²/dI²) of the per-bin log-likelihood at I.
+
+    Fast closed form for the exp-Poisson clipped-exp model; any other
+    (observation, nonlinearity) pair goes through elementwise autodiff —
+    the per-bin LL is an elementwise map, so grad-of-sum IS the elementwise
+    derivative and two nested grads give the curvature. This is what makes
+    the Laplace glm update generic over softplus/Bernoulli variants."""
+    if obs.name == "poisson" and nlin.name == "exp":
+        lam_dt = exp_clipped(I) * dt
+        mask = exponent_active(I).astype(I.dtype)
+        return (S - lam_dt) * mask, -lam_dt * mask
+    d1_fn = jax.grad(lambda i: jnp.sum(obs.log_likelihood(S, i, nlin, dt)))
+    d1 = d1_fn(I)
+    d2 = jax.grad(lambda i: jnp.sum(d1_fn(i)))(I)
+    return d1, d2
+
+
+def _laplace_mh_block(
+    key, S, dt, obs, nlin, I0, Phi, theta_cur, theta0,
+    prior_mu, prior_sd, beta=1.0, n_newton: int = 6,
 ):
-    """Laplace independence-MH for the (bias, w_stim) block — exp-Poisson,
-    none/basis stimulus only.
+    """Per-neuron Laplace independence-MH on a LINEAR current block.
 
-    The likelihood factorizes over postsynaptic neurons and, given the
-    coupling current, each neuron's (bias_n, w_stim_n) conditional is a
-    CONCAVE Poisson GLM in θ_n = [b_n; w_n] over the design φ_t = [1, x_t]:
-
-        log p(θ_n | rest) = Σ_t S·clip(I₀+φθ) − dt·Σ_t e^{clip(I₀+φθ)}
-                            + log N(θ_n | μ_p, Σ_p) + const.
-
-    Newton (from the STATE-INDEPENDENT seed ``theta0`` — e.g. the MAP init)
-    finds the conditional mode θ*, the proposal is N(θ*, (−H*)⁻¹), and an
-    exact per-neuron MH accept keeps the conditional invariant. No step
-    size exists anywhere: this replaces HMC on a block whose per-neuron
+    Given the frozen rest-of-model current I0 (T, N), each neuron n's
+    conditional over its D-vector θ_n with current I_n = I0_n + Φ_n θ_n is
+    approximately Gaussian (for concave conditionals — any convex,
+    log-concave nonlinearity per Paninski 2004 — exactly so as T → ∞).
+    Newton from the STATE-INDEPENDENT seed ``theta0`` finds the mode θ*,
+    the proposal is N(θ*, (−H*)⁻¹), and an exact per-neuron MH accept keeps
+    the conditional invariant regardless of approximation quality. No step
+    size exists anywhere: this replaces HMC on blocks whose per-neuron
     Fisher information spans orders of magnitude (rate-dependent), where a
     single HMC ε gets pinned at ~1e-4 by the stiffest neuron and chains
     take microscopic steps (the round-2 flagship's R̂-in-the-millions
-    failure). With T in the tens of thousands the Gaussian approximation
-    of the concave conditional is CLT-sharp, so acceptance is near 1 and
-    the draws are near-iid.
-    """
-    S, dt = data["S"], pop.dt
-    T, N = S.shape
-    f = S.dtype
-    if "X_stim" in data:
-        Phi = jnp.concatenate([jnp.ones((T, 1), f), data["X_stim"]], axis=1)
-    else:
-        Phi = jnp.ones((T, 1), f)
-    D = Phi.shape[1]
+    failure). With T in the tens of thousands acceptance is near 1 and the
+    draws are near-iid.
 
-    bspec = pop.spec.get("bias", {})
-    prior_mu = [float(bspec.get("mu", 2.0))]
-    prior_sd = [float(bspec.get("sigma", 1.0))]
-    if D > 1:
-        kspec = pop.spec.get("bkgd", {})
-        prior_mu += [float(kspec.get("mu", 0.0))] * (D - 1)
-        prior_sd += [float(kspec.get("sigma", 1.0))] * (D - 1)
-    prior_mu = jnp.asarray(prior_mu, f)
-    prior_sd = jnp.asarray(prior_sd, f)
+    Args:
+      Phi: design tensor, (T, D) shared across neurons or (T, N, D)
+           per-neuron (the spatiotemporal/shared blocks need the latter).
+      theta_cur/theta0: (N, D) current values and Newton seed.
+      prior_mu/prior_sd: (D,) or (N, D) Gaussian prior on θ rows.
+    Returns:
+      (theta_new (N,D), accept (N,) bool).
+    """
+    f = S.dtype
+    N, D = theta_cur.shape
+    per_neuron_design = Phi.ndim == 3
+    prior_mu = jnp.broadcast_to(jnp.asarray(prior_mu, f), (N, D))
+    prior_sd = jnp.broadcast_to(jnp.asarray(prior_sd, f), (N, D))
     prior_prec = 1.0 / (prior_sd * prior_sd)
 
-    d = dict(data)
-    d["_G"] = pop.coupling(params)
-    I0 = pop.impulse.current(params, d)  # (T, N) coupling current
-
-    theta_cur = params["bias"][:, None]
-    if D > 1:
-        theta_cur = jnp.concatenate([theta_cur, params["w_stim"]], axis=1)
+    def currents(theta):  # (N,D) -> (T,N)
+        if per_neuron_design:
+            return I0 + jnp.einsum("tnd,nd->tn", Phi, theta)
+        return I0 + Phi @ theta.T
 
     def grad_negH(theta):  # (N,D) -> ((N,D), (N,D,D))
-        I = I0 + Phi @ theta.T
-        Ic = jnp.clip(I, -40.0, 40.0)
-        lam_dt = jnp.exp(Ic) * dt
-        mask = (jnp.abs(I) < 40.0).astype(f)
-        dI = (S - lam_dt) * mask
-        grad = beta * jnp.einsum("tn,td->nd", dI, Phi) - (theta - prior_mu) * prior_prec
-        W = lam_dt * mask
-        negH = beta * jnp.einsum("tn,td,te->nde", W, Phi, Phi) + jnp.diag(prior_prec)
+        I = currents(theta)
+        d1, d2 = _bin_ll_derivs(S, I, obs, nlin, dt)
+        # curvature clamp (proposal-shaping only; the MH ratio below is
+        # exact): a non-concave pocket must not flip the Hessian sign
+        d2 = jnp.minimum(d2, 0.0)
+        if per_neuron_design:
+            grad = beta * jnp.einsum("tn,tnd->nd", d1, Phi)
+            negH = -beta * jnp.einsum("tn,tnd,tne->nde", d2, Phi, Phi)
+        else:
+            grad = beta * jnp.einsum("tn,td->nd", d1, Phi)
+            negH = -beta * jnp.einsum("tn,td,te->nde", d2, Phi, Phi)
+        grad = grad - (theta - prior_mu) * prior_prec
+        negH = negH + jax.vmap(jnp.diag)(prior_prec)
         return grad, negH
 
     def newton(theta, _):
@@ -455,9 +471,8 @@ def update_glm_laplace(
         return log_det_C - 0.5 * jnp.sum(r * r, axis=1)
 
     def log_target(theta):
-        I = I0 + Phi @ theta.T
-        Ic = jnp.clip(I, -40.0, 40.0)
-        ll = jnp.sum(S * Ic, axis=0) - dt * jnp.sum(jnp.exp(Ic), axis=0)  # (N,)
+        I = currents(theta)
+        ll = jnp.sum(obs.log_likelihood(S, I, nlin, dt), axis=0)  # (N,)
         zp = (theta - prior_mu) / prior_sd
         return beta * ll - 0.5 * jnp.sum(zp * zp, axis=1)
 
@@ -470,13 +485,219 @@ def update_glm_laplace(
     log_alpha = t_prop - log_q(theta_prop) - t_cur + log_q(theta_cur)
     accept = jnp.log(jax.random.uniform(k_u, (N,), f)) < log_alpha
     theta_new = jnp.where(accept[:, None], theta_prop, theta_cur)
+    return theta_new, accept
 
+
+def _glm_prior_rows(pop, D):
+    """(prior_mu, prior_sd) rows [bias; stimulus-weights×(D−1)]."""
+    bspec = pop.spec.get("bias", {})
+    mu = [float(bspec.get("mu", 2.0))]
+    sd = [float(bspec.get("sigma", 1.0))]
+    if D > 1:
+        kspec = pop.spec.get("bkgd", {})
+        mu += [float(kspec.get("mu", 0.0))] * (D - 1)
+        sd += [float(kspec.get("sigma", 1.0))] * (D - 1)
+    return jnp.asarray(mu), jnp.asarray(sd)
+
+
+def update_glm_laplace(
+    key, pop, params, data, theta0, beta=1.0, n_newton: int = 6,
+    return_accept: bool = False,
+):
+    """Laplace independence-MH for the (bias, w_stim) block — any
+    observation/nonlinearity, none/basis stimulus (the design is linear:
+    φ_t = [1, x_t]). See :func:`_laplace_mh_block` for the mechanism and
+    the no-step-size rationale."""
+    S, dt = data["S"], pop.dt
+    T, N = S.shape
+    f = S.dtype
+    if "X_stim" in data:
+        Phi = jnp.concatenate([jnp.ones((T, 1), f), data["X_stim"].astype(f)], axis=1)
+    else:
+        Phi = jnp.ones((T, 1), f)
+    D = Phi.shape[1]
+    prior_mu, prior_sd = _glm_prior_rows(pop, D)
+
+    d = dict(data)
+    d["_G"] = pop.coupling(params)
+    I0 = pop.impulse.current(params, d)  # (T, N) coupling current
+
+    theta_cur = params["bias"][:, None]
+    if D > 1:
+        theta_cur = jnp.concatenate([theta_cur, params["w_stim"]], axis=1)
+
+    theta_new, accept = _laplace_mh_block(
+        key, S, dt, pop.observation, pop.nlin, I0, Phi, theta_cur, theta0,
+        prior_mu, prior_sd, beta=beta, n_newton=n_newton,
+    )
     out = {**params, "bias": theta_new[:, 0]}
     if D > 1:
         out["w_stim"] = theta_new[:, 1:]
     if return_accept:
         return out, jnp.mean(accept.astype(f))
     return out
+
+
+def update_glm_laplace_st(
+    key, pop, params, data, theta0, beta=1.0, n_newton: int = 6,
+    return_accept: bool = False,
+):
+    """Laplace independence-MH for the spatiotemporal-stimulus glm block.
+
+    The separable receptive field I_stim[t,n] = Σ_db w_s[n,d]·w_t[n,b]·
+    X_st[t,d,b] is BILINEAR in (w_s, w_t), so the block splits into two
+    conditionally-linear sub-blocks updated in turn (each an exact MH on
+    its conditional, see :func:`_laplace_mh_block`):
+
+      a. θ_n = [bias_n; w_s[n]]  with per-neuron design [1, X_st·w_t[n]],
+      b. θ_n = [w_t[n]]          with per-neuron design  X_st·w_s[n]
+         (bias enters as an offset).
+
+    ``theta0``: dict with 'bias' (N,), 'w_stim_s' (N,D), 'w_stim_t' (N,B) —
+    the state-independent Newton seeds (MAP/init values).
+    """
+    S, dt = data["S"], pop.dt
+    f = S.dtype
+    X = data["X_st"].astype(f)  # (T, D, B)
+    N = pop.N
+
+    d = dict(data)
+    d["_G"] = pop.coupling(params)
+    I_coup = pop.impulse.current(params, d)  # (T, N)
+
+    bspec = pop.spec.get("bias", {})
+    kspec = pop.spec.get("bkgd", {})
+    b_mu, b_sd = float(bspec.get("mu", 2.0)), float(bspec.get("sigma", 1.0))
+    s_mu, s_sd = float(kspec.get("mu", 0.0)), float(kspec.get("sigma", 1.0))
+
+    k_a, k_b = jax.random.split(key)
+
+    # (a) [bias, w_s] | w_t — design φ[t,n,:] = [1, X_st @ w_t[n]]
+    Ds = X.shape[1]
+    phi_s = jnp.einsum("tdb,nb->tnd", X, params["w_stim_t"])  # (T,N,D)
+    Phi_a = jnp.concatenate(
+        [jnp.ones(phi_s.shape[:2] + (1,), f), phi_s], axis=2
+    )  # (T,N,1+D)
+    th_cur = jnp.concatenate([params["bias"][:, None], params["w_stim_s"]], axis=1)
+    th0 = jnp.concatenate([theta0["bias"][:, None], theta0["w_stim_s"]], axis=1)
+    mu_a = jnp.asarray([b_mu] + [s_mu] * Ds)
+    sd_a = jnp.asarray([b_sd] + [s_sd] * Ds)
+    th_new, acc_a = _laplace_mh_block(
+        k_a, S, dt, pop.observation, pop.nlin, I_coup, Phi_a, th_cur, th0,
+        mu_a, sd_a, beta=beta, n_newton=n_newton,
+    )
+    params = {**params, "bias": th_new[:, 0], "w_stim_s": th_new[:, 1:]}
+
+    # (b) w_t | [bias, w_s] — design φ[t,n,:] = X_stᵀ @ w_s[n]; bias offsets
+    phi_t = jnp.einsum("tdb,nd->tnb", X, params["w_stim_s"])  # (T,N,B)
+    I0_b = I_coup + params["bias"][None, :]
+    th_new, acc_b = _laplace_mh_block(
+        k_b, S, dt, pop.observation, pop.nlin, I0_b, phi_t,
+        params["w_stim_t"], theta0["w_stim_t"],
+        jnp.asarray(s_mu), jnp.asarray(s_sd), beta=beta, n_newton=n_newton,
+    )
+    params = {**params, "w_stim_t": th_new}
+    if return_accept:
+        return params, 0.5 * (jnp.mean(acc_a.astype(f)) + jnp.mean(acc_b.astype(f)))
+    return params
+
+
+def update_glm_laplace_shared(
+    key, pop, params, data, theta0, beta=1.0, n_newton: int = 6,
+    return_accept: bool = False,
+):
+    """Laplace independence-MH for the shared-tuning-curve glm block.
+
+    The shared stimulus current I_stim[t,n] = gain_n · (x_tᵀ w_shared)
+    couples all neurons through the GLOBAL filter w_shared, breaking the
+    per-neuron factorization. The block splits into
+
+      a. per-neuron θ_n = [bias_n; gain_n] given w_shared — linear with
+         design [1, x_tᵀ w_shared] (:func:`_laplace_mh_block`), and
+      b. the global DB-dim w_shared given (bias, gain) — one pooled Newton
+         over all neurons (grad Σ_tn f'·gain_n x_t, Hessian
+         Σ_tn f''·gain_n² x_t x_tᵀ) with a single MH accept.
+    """
+    S, dt = data["S"], pop.dt
+    obs, nlin = pop.observation, pop.nlin
+    f = S.dtype
+    X = data["X_stim"].astype(f)  # (T, DB)
+    DB = X.shape[1]
+
+    d = dict(data)
+    d["_G"] = pop.coupling(params)
+    I_coup = pop.impulse.current(params, d)  # (T, N)
+
+    bspec = pop.spec.get("bias", {})
+    kspec = pop.spec.get("bkgd", {})
+    b_mu, b_sd = float(bspec.get("mu", 2.0)), float(bspec.get("sigma", 1.0))
+    s_mu, s_sd = float(kspec.get("mu", 0.0)), float(kspec.get("sigma", 1.0))
+    # gain prior is fixed by the component spec (components.make_bkgd)
+    g_mu, g_sd = 1.0, 0.3
+
+    k_a, k_b, k_u = jax.random.split(key, 3)
+
+    # (a) per-neuron [bias, gain] | w_shared
+    drive = X @ params["w_stim_shared"]  # (T,)
+    Phi_a = jnp.stack([jnp.ones_like(drive), drive], axis=1)  # (T, 2)
+    th_cur = jnp.stack([params["bias"], params["gain"]], axis=1)
+    th0 = jnp.stack([theta0["bias"], theta0["gain"]], axis=1)
+    th_new, acc_a = _laplace_mh_block(
+        k_a, S, dt, obs, nlin, I_coup, Phi_a, th_cur, th0,
+        jnp.asarray([b_mu, g_mu]), jnp.asarray([b_sd, g_sd]),
+        beta=beta, n_newton=n_newton,
+    )
+    params = {**params, "bias": th_new[:, 0], "gain": th_new[:, 1]}
+
+    # (b) global w_shared | (bias, gain): pooled concave GLM over all bins
+    # of all neurons; one Newton + one MH accept for the DB-vector.
+    I0 = I_coup + params["bias"][None, :]
+    gain = params["gain"]
+    prior_prec = 1.0 / (s_sd * s_sd)
+
+    def grad_negH(w):  # (DB,) -> ((DB,), (DB,DB))
+        I = I0 + drive_of(w)
+        d1, d2 = _bin_ll_derivs(S, I, obs, nlin, dt)
+        d2 = jnp.minimum(d2, 0.0)
+        # Σ_tn d1·gain_n x_t ; Σ_tn (−d2)·gain_n² x_t x_tᵀ
+        g_vec = beta * (X.T @ (d1 @ gain)) - (w - s_mu) * prior_prec
+        r = -d2 @ (gain * gain)  # (T,)
+        nH = beta * jnp.einsum("t,td,te->de", r, X, X) + prior_prec * jnp.eye(DB, dtype=f)
+        return g_vec, nH
+
+    def drive_of(w):
+        return (X @ w)[:, None] * gain[None, :]
+
+    def newton(w, _):
+        g_vec, nH = grad_negH(w)
+        return w + jnp.linalg.solve(nH, g_vec), None
+
+    w_star, _ = jax.lax.scan(newton, theta0["w_stim_shared"], None, length=n_newton)
+    _, nH = grad_negH(w_star)
+    C = jnp.linalg.cholesky(nH)
+    log_det_C = jnp.sum(jnp.log(jnp.diag(C)))
+    z = jax.random.normal(k_b, (DB,), f)
+    w_prop = w_star + jax.scipy.linalg.solve_triangular(C.T, z, lower=False)
+
+    def log_q(w):
+        r = C.T @ (w - w_star)
+        return log_det_C - 0.5 * jnp.sum(r * r)
+
+    def log_target(w):
+        ll = jnp.sum(obs.log_likelihood(S, I0 + drive_of(w), nlin, dt))
+        zp = (w - s_mu) / s_sd
+        return beta * ll - 0.5 * jnp.sum(zp * zp)
+
+    t_prop, t_cur = log_target(w_prop), log_target(params["w_stim_shared"])
+    t_cur = jnp.where(jnp.isfinite(t_cur), t_cur, -jnp.inf)
+    t_prop = jnp.where(jnp.isfinite(t_prop), t_prop, -jnp.inf)
+    log_alpha = t_prop - log_q(w_prop) - t_cur + log_q(params["w_stim_shared"])
+    acc_b = jnp.log(jax.random.uniform(k_u, (), f)) < log_alpha
+    w_new = jnp.where(acc_b, w_prop, params["w_stim_shared"])
+    params = {**params, "w_stim_shared": w_new}
+    if return_accept:
+        return params, 0.5 * (jnp.mean(acc_a.astype(f)) + acc_b.astype(f))
+    return params
 
 
 def refresh_disconnected_weights(key, pop, params):

@@ -197,6 +197,12 @@ def cross_validate_lambda(
     for fold_i, (train_sls, val_sl) in enumerate(folds):
         datas = tuple(seg_data(sl) for sl in train_sls)
         data_val = seg_data(val_sl)
+        # Each fold's λ path MUST start from the fold-independent
+        # init_params: warm-starting fold i+1 from fold i's final fit would
+        # leak fold i+1's validation block (part of fold i's training data)
+        # into the initialization of the very fits being scored on it —
+        # and the nonconvex objective makes the solution basin
+        # initialization-dependent. Warm starts apply within a fold only.
         params = init_params
         for i in order:
             fit, _, _ = _map_fit_multi_jit(

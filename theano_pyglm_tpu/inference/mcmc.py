@@ -35,6 +35,8 @@ from theano_pyglm_tpu.inference.gibbs import (
     update_adjacency_collapsed,
     update_er_rho,
     update_glm_laplace,
+    update_glm_laplace_shared,
+    update_glm_laplace_st,
     update_sbm_hypers,
     update_sbm_types,
     update_weight_hypers,
@@ -57,20 +59,46 @@ __all__ = [
 ]
 
 
-def _glm_theta0(pop, data, fisher_params):
+def _glm_theta0(pop, data, fisher_params, bk_type):
     """State-independent Newton seed for the glm Laplace-MH block: the
-    init/MAP (bias, w_stim) if available, else the prior means."""
+    init/MAP values if available, else the prior means. Shape depends on
+    the stimulus variant: (N, D) array for none/basis, a dict of the
+    block's leaves for spatiotemporal/shared."""
     f = default_float()
-    D = 1 + (data["X_stim"].shape[1] if "X_stim" in data else 0)
-    if fisher_params is not None and "bias" in fisher_params:
-        th = jnp.asarray(fisher_params["bias"], f)[:, None]
-        if D > 1:
-            th = jnp.concatenate([th, jnp.asarray(fisher_params["w_stim"], f)], axis=1)
-        return th
+    N = pop.N
     bmu = float(pop.spec.get("bias", {}).get("mu", 2.0))
     smu = float(pop.spec.get("bkgd", {}).get("mu", 0.0))
-    row = jnp.asarray([bmu] + [smu] * (D - 1), f)
-    return jnp.broadcast_to(row, (pop.N, D))
+    have = fisher_params is not None and "bias" in fisher_params
+
+    def leaf(name, default):
+        if have and name in fisher_params:
+            return jnp.asarray(fisher_params[name], f)
+        return default
+
+    if bk_type in ("none", "basis"):
+        D = 1 + (data["X_stim"].shape[1] if "X_stim" in data else 0)
+        if have:
+            th = leaf("bias", None)[:, None]
+            if D > 1:
+                th = jnp.concatenate([th, leaf("w_stim", None)], axis=1)
+            return th
+        row = jnp.asarray([bmu] + [smu] * (D - 1), f)
+        return jnp.broadcast_to(row, (N, D))
+    if bk_type == "spatiotemporal":
+        Ds, B = data["X_st"].shape[1], data["X_st"].shape[2]
+        return {
+            "bias": leaf("bias", jnp.full((N,), bmu, f)),
+            "w_stim_s": leaf("w_stim_s", jnp.full((N, Ds), smu, f)),
+            "w_stim_t": leaf("w_stim_t", jnp.full((N, B), smu, f)),
+        }
+    if bk_type == "shared":
+        DB = data["X_stim"].shape[1]
+        return {
+            "bias": leaf("bias", jnp.full((N,), bmu, f)),
+            "gain": leaf("gain", jnp.ones((N,), f)),
+            "w_stim_shared": leaf("w_stim_shared", jnp.full((DB,), smu, f)),
+        }
+    raise ValueError(f"unknown bkgd type {bk_type!r}")
 
 
 def warmup_schedule(n_warmup: int):
@@ -182,7 +210,8 @@ def init_mcmc_state(pop, params, step_size: float = 0.02) -> dict:
 
 
 def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
-               row_batch=None, fisher_params: Optional[dict] = None):
+               row_batch=None, fisher_params: Optional[dict] = None,
+               glm_update: str = "auto"):
     """Build the jitted one-iteration Gibbs sweep (see module docstring).
 
     Returns ``sweep(key, state, adapt) -> state`` with ``adapt`` a traced
@@ -193,27 +222,36 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
     working set to row_batch·T·N for long recordings (SURVEY.md §5
     long-context row).
 
-    ``fisher_params``: parameters at which to evaluate the rates for FISHER
-    preconditioning of the glm block (below); typically the MAP/smart init.
+    ``fisher_params``: parameters at which the glm Laplace block seeds its
+    Newton iterations (state-independent); typically the MAP/smart init.
+
+    ``glm_update``: 'auto' (default — the Laplace independence-MH below),
+    or 'hmc' to force the whitened-HMC fallback on the glm block (kept for
+    A/B diagnostics and its Geweke stationarity test).
     """
-    # The glm (bias, w_stim) block: for the exp-Poisson model with a plain
-    # (none/basis) stimulus, the per-neuron conditional is a CONCAVE GLM, so
-    # it is sampled by a Laplace independence-MH (gibbs.update_glm_laplace)
-    # — Newton to the conditional mode, Gaussian proposal at the mode, exact
-    # MH — with no step size anywhere. HMC on this block is structurally
-    # fragile: the per-neuron Fisher spans orders of magnitude (rate-
-    # dependent), pinning a global ε at ~1e-4 where chains move
-    # microscopically (round-2 flagship: R̂ in the millions from chains
-    # parked at their inits). Other variants fall back to HMC with the
-    # X-gram whitening below.
-    glm_laplace = (
-        pop.nlin.name == "exp"
-        and pop.observation.name == "poisson"
-        and pop.spec.get("bkgd", {}).get("type", "none") in ("none", "basis")
-    )
+    # The glm (bias, stimulus) block is sampled by Laplace independence-MH
+    # (gibbs.update_glm_laplace / _st / _shared): Newton to the per-neuron
+    # conditional mode, Gaussian proposal at the mode, exact MH — with no
+    # step size anywhere. HMC on this block is structurally fragile: the
+    # per-neuron Fisher spans orders of magnitude (rate-dependent), pinning
+    # a global ε at ~1e-4 where chains move microscopically (round-2
+    # flagship: R̂ in the millions from chains parked at their inits).
+    # All stimulus variants and observation/nonlinearity pairs are covered
+    # (generic elementwise-autodiff curvature, gibbs._bin_ll_derivs);
+    # glm_update='hmc' restores the whitened-HMC path.
+    if glm_update not in ("auto", "laplace", "hmc"):
+        raise ValueError(f"unknown glm_update {glm_update!r}")
+    glm_laplace = glm_update != "hmc"
+    bk_type = pop.spec.get("bkgd", {}).get("type", "none")
     theta0 = None
     if glm_laplace:
-        theta0 = _glm_theta0(pop, data, fisher_params)
+        theta0 = _glm_theta0(pop, data, fisher_params, bk_type)
+        glm_laplace_fn = {
+            "none": update_glm_laplace,
+            "basis": update_glm_laplace,
+            "spatiotemporal": update_glm_laplace_st,
+            "shared": update_glm_laplace_shared,
+        }[bk_type]
 
     # Whitening substitution for the stimulus weights (HMC fallback only):
     # overlapping basis columns make X_stim's columns strongly correlated,
@@ -253,7 +291,7 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
             if name not in state:
                 continue
             if name == "glm" and glm_laplace:
-                params, acc = update_glm_laplace(
+                params, acc = glm_laplace_fn(
                     k_b, pop, params, data, theta0, beta=beta, return_accept=True
                 )
                 opt, _ = _partition(params, keys)
@@ -388,6 +426,8 @@ def gibbs_sample(
     resume: bool = False,
     row_batch: Optional[int] = None,
     anneal_frac: float = 0.0,
+    bias_update: str = "default",
+    glm_update: str = "auto",
 ):
     """Full Bayesian inference (≅ ``gibbs_sample(population, data, N)``).
 
@@ -402,6 +442,15 @@ def gibbs_sample(
     already-collected sample chunks are persisted alongside; ``resume=True``
     continues *exactly* where a previous run stopped — unlike the
     reference's rerun-from-a-pickled-sample restart.
+
+    ``bias_update='ars'`` additionally redraws every neuron's bias from its
+    exact log-concave conditional by adaptive rejection sampling
+    (``inference.ars.update_bias_ars`` — the reference's ARS use case,
+    SURVEY.md §2) after each device chunk. Host-side and sequential, so
+    never the hot path: use ``chunk_size=1`` to interleave it with every
+    sweep (e.g. for stationarity cross-checks of the device bias update);
+    composition of invariant kernels keeps exactness for any chunk size.
+    Requires the exp-Poisson model.
     """
     import os
 
@@ -411,8 +460,24 @@ def gibbs_sample(
         init_params = pop.sample(key)
 
     sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept,
-                       row_batch=row_batch, fisher_params=init_params)
+                       row_batch=row_batch, fisher_params=init_params,
+                       glm_update=glm_update)
     state = init_mcmc_state(pop, init_params, step_size=step_size)
+
+    if bias_update not in ("default", "ars"):
+        raise ValueError(f"unknown bias_update {bias_update!r}")
+    ars_rng = None
+    if bias_update == "ars":
+        from theano_pyglm_tpu.inference.ars import update_bias_ars
+
+        ars_rng = np.random.RandomState(
+            int(jax.random.randint(jax.random.fold_in(key, 7), (), 0, 2**31 - 1))
+        )
+
+    def apply_bias_ars(state):
+        if ars_rng is None:
+            return state
+        return {**state, "params": update_bias_ars(ars_rng, pop, state["params"], data)}
     total = n_samples * thin
     it_global = 0  # warmup iters count 0..n_warmup, then sampling continues
     host_chunks = []
@@ -478,6 +543,7 @@ def gibbs_sample(
             else jnp.asarray([beta_at(it_global + i) for i in range(n)])
         )
         state, _ = _run_chunk(sweep, n, k, state, jnp.asarray(True), 0, betas)
+        state = apply_bias_ars(state)
         it_global += n
         for b, action in boundaries:
             if prev_it < b <= it_global:
@@ -492,6 +558,7 @@ def gibbs_sample(
         k_run, k = jax.random.split(k_run)
         prev_it = it_global
         state, samples = _run_chunk(sweep, n, k, state, jnp.asarray(False), 1)
+        state = apply_bias_ars(state)
         samples = jax.tree.map(np.asarray, samples)
         samples = thin_chunk(samples, thin, it_global - n_warmup)
         host_chunks.append(samples)

@@ -37,6 +37,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from theano_pyglm_tpu.ops.clipping import clip_exponent, exp_clipped
 from theano_pyglm_tpu.ops.distributions import gaussian_logpdf
 from theano_pyglm_tpu.utils.dtypes import default_float
 
@@ -251,20 +252,17 @@ def make_nlin(spec: dict) -> Nonlinearity:
     (the reference's soft-rectifying 'explinear', log(1+e^x))."""
     typ = spec.get("type", "exp")
     if typ == "exp":
-        # The model is λ = exp(clip(I, ±40)) — and log λ MUST be the same
-        # clip(I), not raw I. With log_rate = I the Poisson LL
+        # The model is λ = exp(clip(I, ±EXP_CLIP)) — and log λ MUST be the
+        # same clip(I), not raw I. With log_rate = I the Poisson LL
         # S·log λ − λ·dt grows LINEARLY in I beyond the clip on any spiking
         # bin (the rate cost freezes at e^40·dt while the S·I term keeps
         # rising): an unbounded degenerate direction that HMC/birth-death
         # excursions can ride to |W|~100 and a frozen chain (observed on a
         # flagship chain, round 2). Clipping both keeps the posterior
-        # proper; within any plausible region (|I| < 40 ⇔ rates below
-        # 2e17 sp/s) the clamp is inactive and 1e-6 parity holds.
-        return Nonlinearity(
-            "exp",
-            lambda I: jnp.exp(jnp.clip(I, -40.0, 40.0)),
-            lambda I: jnp.clip(I, -40.0, 40.0),
-        )
+        # proper; within any plausible region the clamp is inactive and
+        # 1e-6 parity holds. Spec + rationale: ops/clipping.py (the single
+        # source of truth shared with the Gibbs fast paths and kernels).
+        return Nonlinearity("exp", exp_clipped, clip_exponent)
     if typ in ("softplus", "explinear"):
 
         def rate(I):

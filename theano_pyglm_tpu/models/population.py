@@ -311,7 +311,14 @@ class Population:
         # The fused op is vmap-safe: a chain-vmapped call routes to the
         # chain-batched Pallas kernels (custom_vmap rule in ops.pallas_kernels)
         # which share the X_imp stream across chains.
-        if self._pallas_active() and "X_imp" in data:
+        # When time_chunk is active the fused branch is skipped: its vjp
+        # materializes the full (T_pad, N) dI_rest cotangent (and the
+        # chain-batched fallback a (C, T, N) one), which would defeat the
+        # bounded-memory guarantee time_chunk exists to provide.
+        chunking = (
+            self.time_chunk is not None and data["S"].shape[0] > self.time_chunk
+        )
+        if self._pallas_active() and "X_imp" in data and not chunking:
             from theano_pyglm_tpu.ops.pallas_kernels import fused_poisson_ll
 
             T = data["S"].shape[0]

@@ -53,10 +53,12 @@ from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from theano_pyglm_tpu.ops.clipping import EXP_CLIP
+
 __all__ = ["fused_poisson_ll", "pallas_available"]
 
 _TILE_T = 512
-_PAD_I_REST = -40.0  # e^{-40}·dt ≈ 4e-21: padded bins are inert
+_PAD_I_REST = -EXP_CLIP  # e^{-40}·dt ≈ 4e-21: padded bins are inert
 
 
 def pallas_available() -> bool:
@@ -77,7 +79,7 @@ def _fwd_kernel(x_ref, u_ref, irest_ref, s_ref, logdt_ref, out_ref, acc_ref):
         acc_ref[0] = jnp.float32(0.0)
 
     I = irest_ref[:] + jnp.dot(x_ref[:], u_ref[:], preferred_element_type=jnp.float32)
-    I = jnp.clip(I, -40.0, 40.0)  # the model's clipped-exp (see make_nlin)
+    I = jnp.clip(I, -EXP_CLIP, EXP_CLIP)  # clipped-exp spec: ops/clipping.py
     ll = s_ref[:] * (I + logdt_ref[0]) - jnp.exp(I) * jnp.exp(logdt_ref[0])
     acc_ref[0] += jnp.sum(ll)
 
@@ -109,11 +111,11 @@ def _vg_kernel(x_ref, u_ref, irest_ref, s_ref, logdt_ref,
         acc_du[:] = jnp.zeros_like(acc_du)
 
     I_raw = irest_ref[:] + jnp.dot(x_ref[:], u_ref[:], preferred_element_type=jnp.float32)
-    I = jnp.clip(I_raw, -40.0, 40.0)  # clipped-exp model (see make_nlin)
+    I = jnp.clip(I_raw, -EXP_CLIP, EXP_CLIP)  # clipped-exp spec: ops/clipping.py
     E = jnp.exp(I) * jnp.exp(logdt_ref[0])
     acc_ll[0] += jnp.sum(s_ref[:] * (I + logdt_ref[0]) - E)
     # the clip's gradient is 0 outside the active range
-    dI = jnp.where(jnp.abs(I_raw) < 40.0, s_ref[:] - E, 0.0)
+    dI = jnp.where(jnp.abs(I_raw) < EXP_CLIP, s_ref[:] - E, 0.0)
     direst_ref[:] = dI
     acc_du[:] += jnp.dot(x_ref[:].T, dI, preferred_element_type=jnp.float32)
 
@@ -169,11 +171,11 @@ def _vg_chains_xla(x_f, u, i_rest, s, dt):
     u_c = u.astype(x_f.dtype) if x_f.dtype == jnp.bfloat16 else u
     I_raw = i_rest + jnp.einsum("tm,cmn->ctn", x_f, u_c,
                                 preferred_element_type=jnp.float32)
-    I = jnp.clip(I_raw, -40.0, 40.0)  # clipped-exp model (see make_nlin)
+    I = jnp.clip(I_raw, -EXP_CLIP, EXP_CLIP)  # clipped-exp spec: ops/clipping.py
     logdt = jnp.float32(np.log(dt))
     E = jnp.exp(I) * jnp.exp(logdt)
     ll = jnp.sum(s[None] * (I + logdt) - E, axis=(1, 2))
-    dI = jnp.where(jnp.abs(I_raw) < 40.0, s[None] - E, 0.0)  # (C, T, N)
+    dI = jnp.where(jnp.abs(I_raw) < EXP_CLIP, s[None] - E, 0.0)  # (C, T, N)
     dI_c = dI.astype(x_f.dtype) if x_f.dtype == jnp.bfloat16 else dI
     du = jnp.einsum("tm,ctn->cmn", x_f, dI_c,
                     preferred_element_type=jnp.float32)
@@ -214,7 +216,7 @@ def _ll_chains_xla(x_f, u, i_rest, s, dt):
     u_c = u.astype(x_f.dtype) if x_f.dtype == jnp.bfloat16 else u
     I = i_rest + jnp.einsum("tm,cmn->ctn", x_f, u_c,
                             preferred_element_type=jnp.float32)
-    I = jnp.clip(I, -40.0, 40.0)  # clipped-exp model (see make_nlin)
+    I = jnp.clip(I, -EXP_CLIP, EXP_CLIP)  # clipped-exp spec: ops/clipping.py
     logdt = jnp.float32(np.log(dt))
     ll = s[None] * (I + logdt) - jnp.exp(I) * jnp.exp(logdt)
     return jnp.sum(ll, axis=(1, 2))

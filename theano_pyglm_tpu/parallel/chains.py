@@ -113,6 +113,7 @@ def gibbs_sample_chains(
     resume: bool = False,
     row_batch: Optional[int] = None,
     anneal_frac: float = 0.0,
+    glm_update: str = "auto",
 ):
     """Run ``n_chains`` independent Gibbs/HMC chains, sharded over ``mesh``.
 
@@ -133,7 +134,8 @@ def gibbs_sample_chains(
         n_warmup = max(100, n_samples // 5)
 
     sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, target_accept=target_accept,
-                       row_batch=row_batch, fisher_params=init_params)
+                       row_batch=row_batch, fisher_params=init_params,
+                       glm_update=glm_update)
 
     def vsweep(keys, states, adapt, beta):
         if mesh is not None:
@@ -183,8 +185,14 @@ def gibbs_sample_chains(
             states, it_global = restored, step
             if it_global < n_warmup:
                 k_warm = k_restored
-            else:
+            elif it_global > n_warmup:
                 k_samp = k_restored
+            # it_global == n_warmup: the checkpoint was written at the
+            # warmup/sampling boundary, so k_restored belongs to the WARMUP
+            # key stream. The fresh-run sampling phase derives k_samp from
+            # chain_keys[-1] (same top-level key ⇒ same value here), so
+            # keeping it reproduces the uninterrupted run exactly; assigning
+            # k_restored would silently switch the sampling PRNG stream.
             if mesh is not None:
                 chain_sh = NamedSharding(mesh, P("chains"))
                 states = jax.tree.map(lambda x: jax.device_put(x, chain_sh), states)

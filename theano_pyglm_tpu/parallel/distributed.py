@@ -15,7 +15,9 @@ PROCESS_ID):
     mesh = dist.global_chain_mesh()
     samples, diag, _ = gibbs_sample_chains(pop, data, key, n_chains=C,
                                            mesh=mesh, ...)
-    samples = dist.allgather_samples(samples)   # full stacks on every host
+    # samples already hold the FULL (n, C, ...) stacks on every host: the
+    # chains driver all-gathers globally-sharded arrays as it streams them
+    # to numpy (parallel/chains._to_host). No further gather is needed.
 
 Single-process (the common case, and this repo's CI) is a no-op:
 ``initialize`` returns False and ``global_chain_mesh`` equals the local
@@ -31,7 +33,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 __all__ = ["initialize", "is_distributed", "global_chain_mesh", "allgather_samples"]
 
@@ -80,18 +81,14 @@ def global_chain_mesh(n_devices: Optional[int] = None):
 
 
 def allgather_samples(samples: dict) -> dict:
-    """Bring the full (n_samples, n_chains, ...) stacks to every host.
+    """Identity — kept for API compatibility.
 
-    In a multi-process run each host's ``samples`` (numpy, from the chains
-    driver) holds only its addressable chains' data meaningfully; this
-    all-gathers across processes and re-concatenates along the chain axis.
-    Single-process: identity."""
-    if not is_distributed():
-        return samples
-    from jax.experimental import multihost_utils
-
-    def gather(x):
-        g = multihost_utils.process_allgather(np.asarray(x))  # (P, n, c_local, ...)
-        return np.concatenate(list(g), axis=1)
-
-    return {k: gather(v) for k, v in samples.items()}
+    The chains driver (``gibbs_sample_chains``) already all-gathers
+    globally-sharded sample stacks as it streams them to host numpy
+    (``parallel/chains._to_host`` uses ``process_allgather(tiled=True)``),
+    so every host's ``samples`` hold the complete (n_samples, n_chains, ...)
+    stacks. Gathering again here would duplicate every chain P times —
+    (n, P·C, ...) with identical chain blocks — silently inflating
+    downstream ESS and corrupting R̂. This function therefore returns its
+    input unchanged."""
+    return samples
