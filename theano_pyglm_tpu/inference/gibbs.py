@@ -207,14 +207,43 @@ def update_adjacency_collapsed(
     def row_update(key_n, A_n, W_n, w_eff_n, S_n, I_rest_n, mu_n, sig_n, logit_n):
         psi_n = _row_psi(pop, data, w_eff_n)
         I_n = I_rest_n + psi_n @ (A_n * W_n)
-        keys = jax.random.split(key_n, N)
+        all_keys = jax.random.split(key_n, N + 1)
+        keys, k_sub = all_keys[:N], all_keys[N]
 
         fast_path = nlin.name == "exp" and obs.name == "poisson"
 
+        # Proposal-shaping time subsample, drawn ONCE per row per sweep:
+        # contiguous blocks (HBM streaming) at RANDOM offsets redrawn every
+        # sweep. A deterministic stratified layout froze flagship entries
+        # permanently — one unlucky entry's static subsample put the Newton
+        # mode ~4 posterior sds from the truth EVERY sweep, so the
+        # independence proposal never covered the current state and the MH
+        # rejected all moves for 10k sweeps (round-3 post-mortem,
+        # results/rgc_flagship_r3 pre-fix). Random offsets make proposal
+        # bias a per-sweep coin flip instead of a permanent property of the
+        # entry. The subsampled running current I_n_sub rides the scan carry
+        # next to the full-T I_n, so the per-entry cost of the subsample is
+        # one (T_sub,) gather per ROW, not 3 dynamic slices per entry.
+        T_full = psi_n.shape[0]
+        T_sub = min(T_full, 16384)
+        scale_sub = T_full / T_sub
+        if fast_path and T_sub < T_full:
+            blk = 2048
+            n_blk = T_sub // blk
+            offs = jax.random.randint(k_sub, (n_blk,), 0, T_full - blk)
+            idx = (offs[:, None] + jnp.arange(blk)[None, :]).reshape(-1)
+            psi_n_sub = jnp.take(psi_n, idx, axis=0)  # (T_sub, N)
+            S_n_sub = jnp.take(S_n, idx, axis=0)
+            I_n_sub = jnp.take(I_n, idx, axis=0)
+        else:
+            psi_n_sub, S_n_sub, I_n_sub = psi_n, S_n, I_n
+            scale_sub = 1.0
+        a_sub_all = (S_n_sub @ psi_n_sub) * scale_sub  # (N,) hoisted Σ S·ψ
+
         def entry(carry, inp):
-            I_n, A_n, W_n = carry
+            I_n, I_n_sub, A_n, W_n = carry
             m, k = inp
-            k_a, k_w, k_u = jax.random.split(k, 3)
+            k_a, k_w, k_mix, k_u = jax.random.split(k, 4)
             psi_m = psi_n[:, m]
             I_wo = I_n - A_n[m] * W_n[m] * psi_m
             mu, sig = mu_n[m], sig_n[m]
@@ -246,29 +275,13 @@ def update_adjacency_collapsed(
                     )
 
                 # The Newton iterations only shape the PROPOSAL, so they run
-                # on a time subsample (the MH ratio below uses the exact
-                # full-T ΔLL) — the sweep is HBM-bandwidth-bound and this
-                # cuts the dominant per-entry traffic ~2×. The subsample is
-                # STRATIFIED: contiguous blocks spread evenly over [0, T)
-                # (contiguous for HBM streaming, spread so a nonstationary
-                # stimulus can't systematically bias the Laplace fit the way
-                # a prefix window can).
-                T_full = psi_m.shape[0]
-                T_sub = min(T_full, 16384)
-                scale_sub = T_full / T_sub
-                if T_sub == T_full:
-                    psi_s, I_s, S_s = psi_m, I_wo, S_n
-                else:
-                    blk = 2048
-                    n_blk = T_sub // blk
-                    offs = [
-                        int(round(j * (T_full - blk) / max(n_blk - 1, 1)))
-                        for j in range(n_blk)
-                    ]
-                    psi_s = jnp.concatenate([psi_m[o : o + blk] for o in offs])
-                    I_s = jnp.concatenate([I_wo[o : o + blk] for o in offs])
-                    S_s = jnp.concatenate([S_n[o : o + blk] for o in offs])
-                a_sub = (S_s @ psi_s) * scale_sub
+                # on the per-sweep random time subsample drawn above (the
+                # MH ratio below uses the exact full-T ΔLL) — the sweep is
+                # HBM-bandwidth-bound and this cuts the dominant per-entry
+                # traffic ~2×.
+                psi_s = psi_n_sub[:, m]
+                I_s = I_n_sub - A_n[m] * W_n[m] * psi_s
+                a_sub = a_sub_all[m]  # Σ S·ψ·scale (precomputed per row)
 
                 def dll_grad_hess(w):
                     # proposal-shaping only (MH ratio uses dll above); the
@@ -320,16 +333,32 @@ def update_adjacency_collapsed(
             s = jnp.sqrt(-1.0 / h_star)
 
             # Laplace evidence of the edge (A=0 evidence is exactly 1).
+            # PROPOSAL ROBUSTNESS (flagship freeze post-mortem, see the
+            # subsample note above). An independence MH can only leave a
+            # state that its proposal can come back to: the acceptance of
+            # any exit is bounded by q(current)/π(current). Two defenses
+            # keep that ratio bounded even when the Laplace fit is off:
+            #   1. the proposal's birth probability is clipped to
+            #      [σ(−3.5), σ(3.5)] ≈ [0.03, 0.97] — both A states stay
+            #      proposable every sweep (the TARGET's logit is untouched;
+            #      the MH ratio absorbs the difference exactly);
+            #   2. the birth weight is a DEFENSIVE MIXTURE
+            #      0.8·N(w*, s²) + 0.2·N(μ, σ²) — the prior component keeps
+            #      q(w_current) ≥ 0.2·prior(w_current), so a mis-centered
+            #      Newton mode cannot drive the reverse density to e^{-15}
+            #      and freeze the entry.
             log_z1 = g(w_star) + 0.5 * (_LOG2PI) + jnp.log(s)
-            logit_birth = jnp.clip(logit_n[m] + log_z1, -30.0, 30.0)
+            logit_birth = jnp.clip(logit_n[m] + log_z1, -3.5, 3.5)
             p_birth = jax.nn.sigmoid(logit_birth)
 
             a_prop = jax.random.bernoulli(k_a, p_birth).astype(A_n.dtype)
-            w_prop = jnp.where(
-                a_prop > 0,
+            use_hat = jax.random.uniform(k_mix) < 0.8
+            w_birth = jnp.where(
+                use_hat,
                 w_star + s * jax.random.normal(k_w),
                 mu + sig * jax.random.normal(k_w),
             )
+            w_prop = jnp.where(a_prop > 0, w_birth, mu + sig * jax.random.normal(k_w))
 
             def log_target(a, w):
                 zp = (w - mu) / sig
@@ -338,9 +367,10 @@ def update_adjacency_collapsed(
 
             def log_proposal(a, w):
                 zq = (w - w_star) / s
-                lq1 = -0.5 * (zq * zq + _LOG2PI) - jnp.log(s)
+                lq_hat = -0.5 * (zq * zq + _LOG2PI) - jnp.log(s)
                 zp = (w - mu) / sig
                 lq0 = -0.5 * (zp * zp + _LOG2PI) - jnp.log(sig)
+                lq1 = jnp.logaddexp(jnp.log(0.8) + lq_hat, jnp.log(0.2) + lq0)
                 return jnp.where(
                     a > 0, jnp.log(p_birth) + lq1, jnp.log1p(-p_birth) + lq0
                 )
@@ -356,10 +386,13 @@ def update_adjacency_collapsed(
             w_new = jnp.where(accept, w_prop, W_n[m])
 
             I_n = I_wo + a_new * w_new * psi_m
-            return (I_n, A_n.at[m].set(a_new), W_n.at[m].set(w_new)), accept
+            I_n_sub = (I_n_sub - A_n[m] * W_n[m] * psi_n_sub[:, m]) + (
+                a_new * w_new * psi_n_sub[:, m]
+            )
+            return (I_n, I_n_sub, A_n.at[m].set(a_new), W_n.at[m].set(w_new)), accept
 
-        (I_n, A_n, W_n), accepts = jax.lax.scan(
-            entry, (I_n, A_n, W_n), (jnp.arange(N), keys)
+        (I_n, I_n_sub, A_n, W_n), accepts = jax.lax.scan(
+            entry, (I_n, I_n_sub, A_n, W_n), (jnp.arange(N), keys)
         )
         return A_n, W_n, jnp.mean(accepts.astype(jnp.float32))
 
