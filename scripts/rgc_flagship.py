@@ -77,7 +77,11 @@ def main():
         n_samples=args.n_iters // args.thin,
         n_warmup=args.n_warmup,
         thin=args.thin,
-        chunk_size=500,
+        # 250 sweeps/chunk ≈ 8 s of device time per XLA execution: the axon
+        # tunnel kills the TPU worker when a single execution runs too long
+        # (observed at ~90 s with a slow sweep; 500×28 ms ≈ 14 s survived).
+        # Chunk dispatch overhead is ~ms, so smaller chunks cost nothing.
+        chunk_size=250,
         mesh=mesh,
         init_params=init,
         init_jitter=0.05,

@@ -64,6 +64,27 @@ def compute_psi(pop, params, data) -> jax.Array:
     return psi
 
 
+def _psi_from_X(X, mean, w_eff_n) -> jax.Array:
+    """One ψ row from an explicit design block: (T', N_pre) from X (T', N,
+    B) and one postsynaptic row's effective filter weights (N_pre, B).
+    ``mean`` is the optional bf16 mean-centering correction
+    (``_X_imp_mean``)."""
+    if X.dtype == jnp.bfloat16:
+        psi_n = jnp.einsum(
+            "tmb,mb->tm", X, w_eff_n.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        psi_n = jnp.einsum("tmb,mb->tm", X, w_eff_n)
+    if mean is not None:
+        psi_n = psi_n + jnp.sum(mean * w_eff_n, axis=-1)[None]
+    if X.dtype == jnp.bfloat16:
+        # the user opted into bf16 design tensors; ψ dominates the sweep's
+        # HBM traffic, so carry it at the same precision
+        psi_n = psi_n.astype(jnp.bfloat16)
+    return psi_n
+
+
 def _row_psi(pop, data, w_eff_n) -> jax.Array:
     """One postsynaptic row of ψ: (T, N_pre) from X_imp and that row's
     effective filter weights (N_pre, B). Computed *inside* the row update so
@@ -77,21 +98,7 @@ def _row_psi(pop, data, w_eff_n) -> jax.Array:
             "(prepare_data(materialize_design=True)); the streaming data mode "
             "covers likelihood/MAP/HMC paths only"
         )
-    if X.dtype == jnp.bfloat16:
-        psi_n = jnp.einsum(
-            "tmb,mb->tm", X, w_eff_n.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        psi_n = jnp.einsum("tmb,mb->tm", X, w_eff_n)
-    mean = data.get("_X_imp_mean")
-    if mean is not None:
-        psi_n = psi_n + jnp.sum(mean * w_eff_n, axis=-1)[None]
-    if X.dtype == jnp.bfloat16:
-        # the user opted into bf16 design tensors; ψ dominates the sweep's
-        # HBM traffic, so carry it at the same precision
-        psi_n = psi_n.astype(jnp.bfloat16)
-    return psi_n
+    return _psi_from_X(X, data.get("_X_imp_mean"), w_eff_n)
 
 
 def _map_rows(row_fn, args: tuple, row_batch):
@@ -204,40 +211,71 @@ def update_adjacency_collapsed(
     logit_prior = jnp.log(jnp.clip(P, 1e-12, 1.0)) - jnp.log(jnp.clip(1.0 - P, 1e-12, 1.0))
     _LOG2PI = 1.8378770664093453
 
-    def row_update(key_n, A_n, W_n, w_eff_n, S_n, I_rest_n, mu_n, sig_n, logit_n):
+    fast_path = nlin.name == "exp" and obs.name == "poisson"
+
+    # Proposal-shaping time subsample, drawn ONCE per sweep: contiguous
+    # blocks (HBM streaming) at RANDOM offsets redrawn every sweep. A
+    # deterministic stratified layout froze flagship entries permanently —
+    # one unlucky entry's static subsample put the Newton mode ~4 posterior
+    # sds from the truth EVERY sweep, so the independence proposal never
+    # covered the current state and the MH rejected all moves for 10k
+    # sweeps (round-3 post-mortem, results/rgc_flagship_r3 pre-fix). Random
+    # offsets make proposal bias a per-sweep coin flip instead of a
+    # permanent property of the entry; the freeze mechanism only needs the
+    # offsets to change ACROSS sweeps, so one draw is shared by every row
+    # (and, under the chains vmap, redrawn per chain via the sweep key).
+    #
+    # TPU shaping: the subsample is materialized as ONE row-gather of the
+    # shared design X_imp (+ S, I_rest) per sweep; each row's subsampled ψ
+    # is then a small MXU matmul (X_sub @ w_eff_n). The first cut of this
+    # fix gathered ψ per (row, chain) inside the vmap — 27× the gather
+    # traffic — and regressed the 4-chain flagship sweep 39 ms → 172 ms,
+    # long enough that a 500-sweep scan chunk exceeded the axon tunnel's
+    # single-execution tolerance and crashed the TPU worker.
+    T_full = int(S.shape[0])
+    T_sub = min(T_full, 16384)
+    use_sub = fast_path and T_sub < T_full
+    if use_sub:
+        key, k_sub = jax.random.split(key)
+        blk = 2048
+        n_blk = T_sub // blk
+        offs = jax.random.randint(k_sub, (n_blk,), 0, T_full - blk)
+
+        def _blocks(arr):
+            # n_blk contiguous dynamic slices, NOT a flat 16k-row gather:
+            # XLA lowers a random-row gather of this shape to a serialized
+            # per-row loop (~175 MB/s effective, +200 ms/sweep measured);
+            # contiguous dynamic slices are plain DMA.
+            return jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice_in_dim(arr, offs[j], blk, axis=0)
+                    for j in range(n_blk)
+                ],
+                axis=0,
+            )
+
+        X_sub = _blocks(data["X_imp"])  # (T_sub, N, B)
+        S_sub = _blocks(S)  # (T_sub, N)
+        I_rest_sub = _blocks(I_rest)  # (T_sub, N)
+        scale_sub = T_full / T_sub
+    else:
+        S_sub, I_rest_sub = S, I_rest  # aliases; unused branches DCE'd
+        scale_sub = 1.0
+
+    def row_update(
+        key_n, A_n, W_n, w_eff_n, S_n, I_rest_n, mu_n, sig_n, logit_n,
+        S_sub_n, I_rest_sub_n,
+    ):
         psi_n = _row_psi(pop, data, w_eff_n)
         I_n = I_rest_n + psi_n @ (A_n * W_n)
-        all_keys = jax.random.split(key_n, N + 1)
-        keys, k_sub = all_keys[:N], all_keys[N]
+        keys = jax.random.split(key_n, N)
 
-        fast_path = nlin.name == "exp" and obs.name == "poisson"
-
-        # Proposal-shaping time subsample, drawn ONCE per row per sweep:
-        # contiguous blocks (HBM streaming) at RANDOM offsets redrawn every
-        # sweep. A deterministic stratified layout froze flagship entries
-        # permanently — one unlucky entry's static subsample put the Newton
-        # mode ~4 posterior sds from the truth EVERY sweep, so the
-        # independence proposal never covered the current state and the MH
-        # rejected all moves for 10k sweeps (round-3 post-mortem,
-        # results/rgc_flagship_r3 pre-fix). Random offsets make proposal
-        # bias a per-sweep coin flip instead of a permanent property of the
-        # entry. The subsampled running current I_n_sub rides the scan carry
-        # next to the full-T I_n, so the per-entry cost of the subsample is
-        # one (T_sub,) gather per ROW, not 3 dynamic slices per entry.
-        T_full = psi_n.shape[0]
-        T_sub = min(T_full, 16384)
-        scale_sub = T_full / T_sub
-        if fast_path and T_sub < T_full:
-            blk = 2048
-            n_blk = T_sub // blk
-            offs = jax.random.randint(k_sub, (n_blk,), 0, T_full - blk)
-            idx = (offs[:, None] + jnp.arange(blk)[None, :]).reshape(-1)
-            psi_n_sub = jnp.take(psi_n, idx, axis=0)  # (T_sub, N)
-            S_n_sub = jnp.take(S_n, idx, axis=0)
-            I_n_sub = jnp.take(I_n, idx, axis=0)
+        if use_sub:
+            psi_n_sub = _psi_from_X(X_sub, data.get("_X_imp_mean"), w_eff_n)
+            I_n_sub = I_rest_sub_n + psi_n_sub @ (A_n * W_n)
+            S_n_sub = S_sub_n
         else:
             psi_n_sub, S_n_sub, I_n_sub = psi_n, S_n, I_n
-            scale_sub = 1.0
         a_sub_all = (S_n_sub @ psi_n_sub) * scale_sub  # (N,) hoisted Σ S·ψ
 
         def entry(carry, inp):
@@ -399,7 +437,8 @@ def update_adjacency_collapsed(
     keys = jax.random.split(key, N)
     A_new, W_new, acc = _map_rows(
         row_update,
-        (keys, params["A"], params["W"], w_eff_all, S.T, I_rest.T, MU, SIG, logit_prior),
+        (keys, params["A"], params["W"], w_eff_all, S.T, I_rest.T, MU, SIG,
+         logit_prior, S_sub.T, I_rest_sub.T),
         row_batch,
     )
     out = {**params, "A": A_new, "W": W_new}
