@@ -7,12 +7,15 @@ the full log-joint AND its gradient w.r.t. every continuous parameter
 (bias, stimulus weights, impulse logits, coupling weights, locations) — the
 kernel inside every HMC leapfrog step (SURVEY.md §3.4).
 
-The harness measures the candidate configurations — {XLA, fused Pallas} ×
-{f32, bf16 design tensors} — and reports the fastest (the f32-XLA number and
-the bf16 accuracy delta are printed to stderr for the record; measured on
-v5e, XLA's fused matmul pipeline beats the hand-written Pallas kernels at
-this shape, and bf16 design halves the dominant X_imp stream at ~1e-3
-relative gradient error).
+By default measures the library's default configuration (XLA path, f32
+design) — which the round-3 ``--all`` sweep confirmed is also the fastest
+on this workload, so BENCH config == shipped config. ``--all`` measures
+every candidate — {XLA, fused Pallas} × {f32, bf16 design} — and prints
+the authoritative bf16-design accuracy table (measured round 3: log-joint
+rel 4.4e-06, grad rel-L2 9.1e-05, coupling-current rel-L2 2.6e-03).
+Measured on v5e, XLA's fused matmul pipeline beats the hand-written Pallas
+kernels at this shape; bf16 design wins ~15% on the coupling-LL kernel in
+isolation but nets out to a small loss on the full log-joint gradient.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 stand-in baseline is the same computation implemented in single-threaded
@@ -126,14 +129,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # Default: the measured-fastest configuration only (XLA path + bf16
-    # design; see ops/pallas_kernels.py "MEASURED STATUS" and BASELINE.md).
+    # Default: the library's default configuration (XLA path, f32 design) —
+    # which is ALSO the measured-fastest on the full log-joint value+grad
+    # (round-3 sweep: xla_f32 3894, xla_bf16 3764, pallas_bf16 2556,
+    # pallas_f32 2060 evals/s). bf16 design halves the X_imp stream, but
+    # that stream does not dominate the FULL gradient (stimulus matmul,
+    # softmax chain rule and U-assembly do), so the cast overhead nets out.
     # Each extra candidate costs a full XLA compile on the tunneled chip, so
     # the comparison sweep is opt-in.
-    candidates = [("xla_bf16", dict(design_dtype=jnp.bfloat16, use_pallas=False))]
+    candidates = [("xla_f32", dict(design_dtype=None, use_pallas=False))]
     if args.all:
         candidates += [
-            ("xla_f32", dict(design_dtype=None, use_pallas=False)),
+            ("xla_bf16", dict(design_dtype=jnp.bfloat16, use_pallas=False)),
             ("pallas_f32", dict(design_dtype=None, use_pallas=True)),
             ("pallas_bf16", dict(design_dtype=jnp.bfloat16, use_pallas=True)),
         ]
@@ -147,9 +154,31 @@ def main():
 
     best = max(results, key=results.get)
     if args.all and "xla_f32" in vals:
-        rel_delta = abs(vals[best] - vals["xla_f32"]) / max(1.0, abs(vals["xla_f32"]))
-        print(f"  best={best}; log-joint rel delta vs xla_f32: {rel_delta:.2e}",
-              file=sys.stderr)
+        # One authoritative bf16-design accuracy table (BASELINE.md quotes
+        # exactly these three numbers): log-joint relative delta, gradient
+        # relative L2 error, coupling-current relative L2 error — all at the
+        # same parameter point, bf16-design vs f32-design.
+        pop_f, opt_f, frozen_f, data_f = build_problem(design_dtype=None, use_pallas=False)
+        pop_b, _, _, data_b = build_problem(design_dtype=jnp.bfloat16, use_pallas=False)
+        vg = lambda pp, dd: jax.value_and_grad(
+            lambda o: pp.log_joint({**frozen_f, **o}, dd)
+        )(opt_f)
+        v_f, g_f = jax.jit(lambda: vg(pop_f, data_f))()
+        v_b, g_b = jax.jit(lambda: vg(pop_b, data_b))()
+        d_val = abs(float(v_b) - float(v_f)) / max(1.0, abs(float(v_f)))
+        flat = lambda g: np.concatenate([np.ravel(np.asarray(x)) for x in jax.tree.leaves(g)])
+        gf, gb = flat(g_f), flat(g_b)
+        d_grad = float(np.linalg.norm(gb - gf) / max(1e-12, np.linalg.norm(gf)))
+        d_f = dict(data_f); d_f["_G"] = pop_f.coupling(opt_f | frozen_f)
+        d_b = dict(data_b); d_b["_G"] = d_f["_G"]
+        I_f = np.asarray(pop_f.impulse.current({**frozen_f, **opt_f}, d_f))
+        I_b = np.asarray(pop_b.impulse.current({**frozen_f, **opt_f}, d_b))
+        d_cur = float(np.linalg.norm(I_b - I_f) / max(1e-12, np.linalg.norm(I_f)))
+        print(
+            f"  bf16-design accuracy vs f32: log-joint rel {d_val:.2e}, "
+            f"grad rel-L2 {d_grad:.2e}, coupling-current rel-L2 {d_cur:.2e}",
+            file=sys.stderr,
+        )
 
     if args.profile:
         import os

@@ -69,9 +69,13 @@ class Population:
     ):
         """``design_dtype=jnp.bfloat16`` stores the (large) spike design
         tensor X_imp in bf16 — halves the HBM traffic of every likelihood/
-        gradient pass (matmuls still accumulate in f32). ~0.4% relative
-        quantization on coupling currents; leave None (full precision) for
-        verification runs.
+        gradient pass (matmuls still accumulate in f32). Measured accuracy
+        cost (``bench.py --all``, the authoritative table in BASELINE.md):
+        log-joint rel 4.4e-06, gradient rel-L2 9.1e-05, coupling-current
+        rel-L2 2.6e-03. The default stays f32: on the FULL log-joint
+        value+grad the bf16 cast nets out to a small loss (3894 vs 3764
+        evals/s, round 3), and f32 is what the 1e-6 oracle parity tests
+        verify.
 
         ``time_chunk``: evaluate the likelihood (and its VJP) in time blocks
         of this many bins via ``lax.map`` — the SURVEY §5 long-context
