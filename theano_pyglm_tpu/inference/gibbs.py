@@ -32,6 +32,14 @@ from theano_pyglm_tpu.ops.clipping import clip_exponent, exp_clipped, exponent_a
 
 _SEED_MODE = "prior_mean"  # birth-death Newton seed; see update_adjacency_collapsed
 
+# Proposal-shaping time-subsample geometry for the collapsed (A,W) update
+# (see the block comment inside update_adjacency_collapsed). Module-level so
+# tests can shrink them and exercise the flagship-scale subsample path
+# (T > SUBSAMPLE_T) on CPU-sized problems — the path where a formulation bug
+# froze/crashed the round-3 flagship twice before any small-T test noticed.
+SUBSAMPLE_T = 16384  # Newton fits run on at most this many bins
+SUBSAMPLE_BLK = 2048  # contiguous bins per dynamic-slice block
+
 __all__ = [
     "compute_psi",
     "update_adjacency",
@@ -233,11 +241,11 @@ def update_adjacency_collapsed(
     # long enough that a 500-sweep scan chunk exceeded the axon tunnel's
     # single-execution tolerance and crashed the TPU worker.
     T_full = int(S.shape[0])
-    T_sub = min(T_full, 16384)
+    T_sub = min(T_full, SUBSAMPLE_T)
     use_sub = fast_path and T_sub < T_full
     if use_sub:
         key, k_sub = jax.random.split(key)
-        blk = 2048
+        blk = SUBSAMPLE_BLK
         n_blk = T_sub // blk
         offs = jax.random.randint(k_sub, (n_blk,), 0, T_full - blk)
 
