@@ -233,13 +233,17 @@ def update_adjacency_collapsed(
     # offsets to change ACROSS sweeps, so one draw is shared by every row
     # (and, under the chains vmap, redrawn per chain via the sweep key).
     #
-    # TPU shaping: the subsample is materialized as ONE row-gather of the
-    # shared design X_imp (+ S, I_rest) per sweep; each row's subsampled ψ
-    # is then a small MXU matmul (X_sub @ w_eff_n). The first cut of this
-    # fix gathered ψ per (row, chain) inside the vmap — 27× the gather
-    # traffic — and regressed the 4-chain flagship sweep 39 ms → 172 ms,
-    # long enough that a 500-sweep scan chunk exceeded the axon tunnel's
-    # single-execution tolerance and crashed the TPU worker.
+    # TPU shaping: the subsample is materialized as contiguous
+    # dynamic-slice blocks of the shared design X_imp (+ S, I_rest) once
+    # per sweep; each row's subsampled ψ is then a small MXU matmul
+    # (X_sub @ w_eff_n). The first cut of this fix gathered ψ per
+    # (row, chain) inside the vmap; XLA lowers a random-row gather of that
+    # shape to a serialized loop, and the 4-chain flagship-scale update
+    # regressed 39 → 172 ms (single-dispatch timings that both include the
+    # tunnel's 31.5 ms RTT — see benchmarks/roofline_probe.py — so the
+    # device-time regression is ≈8 → 140 ms, ~18×). A 500-sweep scan chunk
+    # then exceeded the axon tunnel's single-execution tolerance and
+    # crashed the TPU worker.
     T_full = int(S.shape[0])
     T_sub = min(T_full, SUBSAMPLE_T)
     use_sub = fast_path and T_sub < T_full
