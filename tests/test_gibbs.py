@@ -221,3 +221,39 @@ def test_collapsed_row_batch_matches_vmap():
     np.testing.assert_allclose(
         np.asarray(full["W"]), np.asarray(batched["W"]), rtol=1e-12
     )
+
+
+def test_glm_laplace_escapes_remote_state():
+    """Regression (round-3 review): from a state hundreds of prior sds out
+    (pathological init; softplus's stabilized LL stays FINITE and nearly
+    flat there), a pure Laplace independence proposal has far lighter
+    tails than the target — q(θ_cur) ~ e^{−10⁵} vs π(θ_cur) ~ e^{−10⁴} —
+    so exact MH rejected every exit forever: a permanently frozen
+    (bias, w_stim) chain. The defensive 10% prior mixture in
+    _laplace_mh_block bounds the reverse density and must free the block
+    within a few sweeps (the same cure as the birth–death weight
+    proposal). The _bin_ll_derivs NaN sanitizer covers the companion
+    failure where autodiff curvature is non-finite."""
+    from theano_pyglm_tpu.inference.gibbs import update_glm_laplace
+
+    spec = make_model(
+        "sparse_weighted_model", 3, bkgd={"type": "none"},
+        nlin={"type": "softplus"},
+    )
+    pop = Population(spec)
+    params = dict(pop.sample(jax.random.PRNGKey(0)))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), params, 400)
+    S = np.array(S)  # writable copy
+    S[50, :] = 1.0  # guarantee spiking bins exist
+    data = pop.prepare_data(jnp.asarray(S))
+    # pathological state: rate underflows everywhere, incl. spike bins
+    params["bias"] = jnp.full((3,), -200.0)
+
+    theta0 = params["bias"][:, None] * 0 + 1.5  # sane state-independent seed
+    p = params
+    moved = False
+    for i in range(5):
+        p = update_glm_laplace(jax.random.PRNGKey(10 + i), pop, p, data, theta0)
+        assert np.isfinite(np.asarray(p["bias"])).all()
+        moved = moved or not np.allclose(np.asarray(p["bias"]), -200.0)
+    assert moved, "glm Laplace block frozen at the underflow state"

@@ -248,6 +248,11 @@ def update_adjacency_collapsed(
     T_sub = min(T_full, SUBSAMPLE_T)
     use_sub = fast_path and T_sub < T_full
     if use_sub:
+        if "X_imp" not in data:
+            # fail with the designed message (see _row_psi) rather than a
+            # bare KeyError — long recordings are exactly where streaming
+            # data mode gets used
+            _row_psi(pop, data, w_eff_all[0])
         key, k_sub = jax.random.split(key)
         blk = SUBSAMPLE_BLK
         n_blk = T_sub // blk
@@ -284,14 +289,21 @@ def update_adjacency_collapsed(
 
         if use_sub:
             psi_n_sub = _psi_from_X(X_sub, data.get("_X_imp_mean"), w_eff_n)
-            I_n_sub = I_rest_sub_n + psi_n_sub @ (A_n * W_n)
+            I_n_sub0 = I_rest_sub_n + psi_n_sub @ (A_n * W_n)
             S_n_sub = S_sub_n
         else:
-            psi_n_sub, S_n_sub, I_n_sub = psi_n, S_n, I_n
+            # subsample == full grid; I_n itself is the tracked current, so
+            # the scan carries no separate I_n_sub (saves 2 T-length vector
+            # ops per entry on every small-T run)
+            psi_n_sub, S_n_sub = psi_n, S_n
         a_sub_all = (S_n_sub @ psi_n_sub) * scale_sub  # (N,) hoisted Σ S·ψ
 
         def entry(carry, inp):
-            I_n, I_n_sub, A_n, W_n = carry
+            if use_sub:
+                I_n, I_n_sub, A_n, W_n = carry
+            else:
+                I_n, A_n, W_n = carry
+                I_n_sub = I_n
             m, k = inp
             k_a, k_w, k_mix, k_u = jax.random.split(k, 4)
             psi_m = psi_n[:, m]
@@ -436,14 +448,17 @@ def update_adjacency_collapsed(
             w_new = jnp.where(accept, w_prop, W_n[m])
 
             I_n = I_wo + a_new * w_new * psi_m
-            I_n_sub = (I_n_sub - A_n[m] * W_n[m] * psi_n_sub[:, m]) + (
-                a_new * w_new * psi_n_sub[:, m]
-            )
-            return (I_n, I_n_sub, A_n.at[m].set(a_new), W_n.at[m].set(w_new)), accept
+            A_up, W_up = A_n.at[m].set(a_new), W_n.at[m].set(w_new)
+            if use_sub:
+                I_n_sub = (I_n_sub - A_n[m] * W_n[m] * psi_n_sub[:, m]) + (
+                    a_new * w_new * psi_n_sub[:, m]
+                )
+                return (I_n, I_n_sub, A_up, W_up), accept
+            return (I_n, A_up, W_up), accept
 
-        (I_n, I_n_sub, A_n, W_n), accepts = jax.lax.scan(
-            entry, (I_n, I_n_sub, A_n, W_n), (jnp.arange(N), keys)
-        )
+        init = (I_n, I_n_sub0, A_n, W_n) if use_sub else (I_n, A_n, W_n)
+        out_carry, accepts = jax.lax.scan(entry, init, (jnp.arange(N), keys))
+        A_n, W_n = out_carry[-2], out_carry[-1]
         return A_n, W_n, jnp.mean(accepts.astype(jnp.float32))
 
     keys = jax.random.split(key, N)
@@ -474,6 +489,15 @@ def _bin_ll_derivs(S, I, obs, nlin, dt):
     d1_fn = jax.grad(lambda i: jnp.sum(obs.log_likelihood(S, i, nlin, dt)))
     d1 = d1_fn(I)
     d2 = jax.grad(lambda i: jnp.sum(d1_fn(i)))(I)
+    # Sanitize (proposal-shaping only — every MH ratio evaluates
+    # obs.log_likelihood directly): autodiff of e.g. the softplus-Poisson
+    # LL yields NaN/inf per-bin derivatives when the rate underflows on a
+    # spiking bin (S·σ(I)/softplus(I) at I ≲ −90 in f32). Unsanitized,
+    # one such bin makes theta_star, the Cholesky, and the reverse density
+    # log_q(theta_cur) NaN EVERY sweep — the same permanently-rejecting
+    # frozen chain the Laplace block exists to eliminate.
+    d1 = jnp.nan_to_num(d1, nan=0.0, posinf=1e6, neginf=-1e6)
+    d2 = jnp.nan_to_num(d2, nan=0.0, posinf=0.0, neginf=-1e6)
     return d1, d2
 
 
@@ -542,17 +566,40 @@ def _laplace_mh_block(
     C = jnp.linalg.cholesky(negH)  # (N, D, D) lower, C Cᵀ = −H*
     log_det_C = jnp.sum(jnp.log(jnp.diagonal(C, axis1=1, axis2=2)), axis=1)
 
-    k_z, k_u = jax.random.split(key)
+    # DEFENSIVE MIXTURE (same disease and cure as the birth–death weight
+    # proposal above): an independence proposal with lighter tails than
+    # the target cannot leave a remote state — from θ_cur hundreds of
+    # prior sds out (e.g. a pathological init, or a softplus model whose
+    # stabilized LL stays FINITE and nearly flat at very negative
+    # currents), q(θ_cur) ~ e^{−10⁵} while π(θ_cur) ~ e^{−10⁴}, so the
+    # exact MH rejects every exit forever. Mixing 10 % of the PRIOR into
+    # the proposal bounds the reverse density by 0.1·prior(θ_cur), which
+    # cancels the prior term of π(θ_cur) in the ratio and lets the chain
+    # escape in one accepted draw. Normal operation is unaffected (the
+    # ratio absorbs the mixture exactly; acceptance stays near 1).
+    k_z, k_u, k_mix = jax.random.split(key, 3)
     z = jax.random.normal(k_z, (N, D), f)
     # θ' = θ* + C⁻ᵀ z  ⇒  cov = C⁻ᵀ C⁻¹ = (−H*)⁻¹
     delta = jax.vmap(
         lambda Cn, zn: jax.scipy.linalg.solve_triangular(Cn.T, zn, lower=False)
     )(C, z)
-    theta_prop = theta_star + delta
+    use_hat = jax.random.uniform(k_mix, (N,), f) < 0.9
+    # z is reused across the mutually exclusive branches — each branch
+    # alone is the correct marginal draw
+    theta_prop = jnp.where(
+        use_hat[:, None], theta_star + delta, prior_mu + prior_sd * z
+    )
+
+    _HALF_LOG2PI = 0.9189385332046727
 
     def log_q(theta):
         r = jnp.einsum("nij,ni->nj", C, theta - theta_star)  # Cᵀ(θ−θ*)
-        return log_det_C - 0.5 * jnp.sum(r * r, axis=1)
+        lq_hat = log_det_C - 0.5 * jnp.sum(r * r, axis=1) - D * _HALF_LOG2PI
+        zp = (theta - prior_mu) / prior_sd
+        lq_prior = jnp.sum(
+            -0.5 * zp * zp - jnp.log(prior_sd) - _HALF_LOG2PI, axis=1
+        )
+        return jnp.logaddexp(jnp.log(0.9) + lq_hat, jnp.log(0.1) + lq_prior)
 
     def log_target(theta):
         I = currents(theta)
@@ -566,21 +613,43 @@ def _laplace_mh_block(
     # non-finite proposal = reject
     t_cur = jnp.where(jnp.isfinite(t_cur), t_cur, -jnp.inf)
     t_prop = jnp.where(jnp.isfinite(t_prop), t_prop, -jnp.inf)
-    log_alpha = t_prop - log_q(theta_prop) - t_cur + log_q(theta_cur)
+    lq_cur = log_q(theta_cur)
+    lq_prop = log_q(theta_prop)
+    log_alpha = t_prop - lq_prop - t_cur + lq_cur
+    # Escape hatch #2: a non-finite REVERSE density (Laplace fit broken in
+    # a way the _bin_ll_derivs sanitizer didn't prevent) makes the exact
+    # ratio undefined; rejecting forever is the one un-recoverable choice
+    # (the fit is a deterministic function of the fixed data + seed, so it
+    # stays broken every sweep). Accept a finite proposal instead and let
+    # the next sweep re-fit from a sane state.
+    fixable = ~jnp.isfinite(lq_cur) & jnp.isfinite(t_prop - lq_prop)
+    log_alpha = jnp.where(fixable, jnp.inf, log_alpha)
+    log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
     accept = jnp.log(jax.random.uniform(k_u, (N,), f)) < log_alpha
     theta_new = jnp.where(accept[:, None], theta_prop, theta_cur)
     return theta_new, accept
 
 
+def _bias_bkgd_scalars(pop):
+    """(b_mu, b_sd, s_mu, s_sd) from the spec — the ONE extraction every
+    glm Laplace variant uses (defaults match models.zoo). These feed MH
+    log-targets, so a drifted copy would silently change the sampled
+    posterior, not just a proposal."""
+    bspec = pop.spec.get("bias", {})
+    kspec = pop.spec.get("bkgd", {})
+    return (
+        float(bspec.get("mu", 2.0)),
+        float(bspec.get("sigma", 1.0)),
+        float(kspec.get("mu", 0.0)),
+        float(kspec.get("sigma", 1.0)),
+    )
+
+
 def _glm_prior_rows(pop, D):
     """(prior_mu, prior_sd) rows [bias; stimulus-weights×(D−1)]."""
-    bspec = pop.spec.get("bias", {})
-    mu = [float(bspec.get("mu", 2.0))]
-    sd = [float(bspec.get("sigma", 1.0))]
-    if D > 1:
-        kspec = pop.spec.get("bkgd", {})
-        mu += [float(kspec.get("mu", 0.0))] * (D - 1)
-        sd += [float(kspec.get("sigma", 1.0))] * (D - 1)
+    b_mu, b_sd, s_mu, s_sd = _bias_bkgd_scalars(pop)
+    mu = [b_mu] + [s_mu] * (D - 1)
+    sd = [b_sd] + [s_sd] * (D - 1)
     return jnp.asarray(mu), jnp.asarray(sd)
 
 
@@ -649,10 +718,7 @@ def update_glm_laplace_st(
     d["_G"] = pop.coupling(params)
     I_coup = pop.impulse.current(params, d)  # (T, N)
 
-    bspec = pop.spec.get("bias", {})
-    kspec = pop.spec.get("bkgd", {})
-    b_mu, b_sd = float(bspec.get("mu", 2.0)), float(bspec.get("sigma", 1.0))
-    s_mu, s_sd = float(kspec.get("mu", 0.0)), float(kspec.get("sigma", 1.0))
+    b_mu, b_sd, s_mu, s_sd = _bias_bkgd_scalars(pop)
 
     k_a, k_b = jax.random.split(key)
 
@@ -712,12 +778,11 @@ def update_glm_laplace_shared(
     d["_G"] = pop.coupling(params)
     I_coup = pop.impulse.current(params, d)  # (T, N)
 
-    bspec = pop.spec.get("bias", {})
-    kspec = pop.spec.get("bkgd", {})
-    b_mu, b_sd = float(bspec.get("mu", 2.0)), float(bspec.get("sigma", 1.0))
-    s_mu, s_sd = float(kspec.get("mu", 0.0)), float(kspec.get("sigma", 1.0))
-    # gain prior is fixed by the component spec (components.make_bkgd)
-    g_mu, g_sd = 1.0, 0.3
+    b_mu, b_sd, s_mu, s_sd = _bias_bkgd_scalars(pop)
+    # gain prior: single source of truth in the component definition
+    from theano_pyglm_tpu.models.components import GAIN_PRIOR_MU, GAIN_PRIOR_SD
+
+    g_mu, g_sd = GAIN_PRIOR_MU, GAIN_PRIOR_SD
 
     k_a, k_b, k_u = jax.random.split(key, 3)
 

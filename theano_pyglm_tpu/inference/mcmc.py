@@ -450,7 +450,10 @@ def gibbs_sample(
     never the hot path: use ``chunk_size=1`` to interleave it with every
     sweep (e.g. for stationarity cross-checks of the device bias update);
     composition of invariant kernels keeps exactness for any chunk size.
-    Requires the exp-Poisson model.
+    Requires the exp-Poisson model. Draws are seeded per chunk from the
+    iteration index, so checkpoint-resume replays them exactly; while
+    annealed warmup is tempering (β < 1) the ARS pass is skipped (it
+    targets the untempered conditional).
     """
     import os
 
@@ -466,18 +469,27 @@ def gibbs_sample(
 
     if bias_update not in ("default", "ars"):
         raise ValueError(f"unknown bias_update {bias_update!r}")
-    ars_rng = None
-    if bias_update == "ars":
+    use_ars = bias_update == "ars"
+    if use_ars:
         from theano_pyglm_tpu.inference.ars import update_bias_ars
 
-        ars_rng = np.random.RandomState(
-            int(jax.random.randint(jax.random.fold_in(key, 7), (), 0, 2**31 - 1))
-        )
-
-    def apply_bias_ars(state):
-        if ars_rng is None:
+    def apply_bias_ars(state, it):
+        if not use_ars:
             return state
-        return {**state, "params": update_bias_ars(ars_rng, pop, state["params"], data)}
+        # The host RandomState is reseeded PER CHUNK from (key, iteration)
+        # rather than kept as one long stream: the iteration index is part
+        # of the checkpoint, so exact resume replays identical ARS draws —
+        # a single stream would restart from scratch on resume and silently
+        # break the "continues exactly" contract above.
+        rng = np.random.RandomState(
+            int(
+                jax.random.randint(
+                    jax.random.fold_in(jax.random.fold_in(key, 7), it),
+                    (), 0, 2**31 - 1,
+                )
+            )
+        )
+        return {**state, "params": update_bias_ars(rng, pop, state["params"], data)}
     total = n_samples * thin
     it_global = 0  # warmup iters count 0..n_warmup, then sampling continues
     host_chunks = []
@@ -543,7 +555,12 @@ def gibbs_sample(
             else jnp.asarray([beta_at(it_global + i) for i in range(n)])
         )
         state, _ = _run_chunk(sweep, n, k, state, jnp.asarray(True), 0, betas)
-        state = apply_bias_ars(state)
+        # ARS targets the FULL-strength conditional, so skip it while the
+        # annealed warmup is still tempering (beta < 1): snapping biases to
+        # their untempered conditional mid-anneal would fight the tempered
+        # device sweeps and distort the adaptation windows.
+        if betas is None or float(betas[-1]) >= 1.0:
+            state = apply_bias_ars(state, it_global + n)
         it_global += n
         for b, action in boundaries:
             if prev_it < b <= it_global:
@@ -558,7 +575,7 @@ def gibbs_sample(
         k_run, k = jax.random.split(k_run)
         prev_it = it_global
         state, samples = _run_chunk(sweep, n, k, state, jnp.asarray(False), 1)
-        state = apply_bias_ars(state)
+        state = apply_bias_ars(state, it_global + n)
         samples = jax.tree.map(np.asarray, samples)
         samples = thin_chunk(samples, thin, it_global - n_warmup)
         host_chunks.append(samples)

@@ -85,6 +85,15 @@ def make_bias(spec: dict, N: int) -> CurrentComponent:
 # --- background / stimulus ------------------------------------------------
 
 
+# Per-neuron gain prior of the shared-tuning background, N(mu, sd). Single
+# source of truth: the Gibbs glm block (inference/gibbs.py,
+# update_glm_laplace_shared) targets this exact conditional — a value
+# duplicated there would silently change the sampled posterior if edited
+# here alone.
+GAIN_PRIOR_MU = 1.0
+GAIN_PRIOR_SD = 0.3
+
+
 def make_bkgd(spec: dict, N: int, B_stim: int, D_stim: int) -> CurrentComponent:
     """Stimulus-driven current (≅ pyglm/components/bkgd.py).
 
@@ -127,12 +136,12 @@ def make_bkgd(spec: dict, N: int, B_stim: int, D_stim: int) -> CurrentComponent:
             k1, k2 = jax.random.split(key)
             return {
                 "w_stim_shared": mu + sigma * jax.random.normal(k1, (DB,)),
-                "gain": 1.0 + 0.3 * jax.random.normal(k2, (N,)),
+                "gain": GAIN_PRIOR_MU + GAIN_PRIOR_SD * jax.random.normal(k2, (N,)),
             }
 
         def log_prior(params):
             return jnp.sum(gaussian_logpdf(params["w_stim_shared"], mu, sigma)) + jnp.sum(
-                gaussian_logpdf(params["gain"], 1.0, 0.3)
+                gaussian_logpdf(params["gain"], GAIN_PRIOR_MU, GAIN_PRIOR_SD)
             )
 
         def current(params, data):
