@@ -91,6 +91,18 @@ def main():
     )
     wall = time.time() - t0
     conv = summarize_chains(samples)
+    if "locs" in samples:
+        # Raw location coordinates are orientation-gauge: the sampler mixes
+        # the rotation orbit exactly (gibbs.update_latent_rotation), so their
+        # R-hat/ESS measure the (instantly-mixed) gauge. Also diagnose the
+        # IDENTIFIABLE functions — pairwise distances — so slow mixing of the
+        # actual embedding shape cannot hide behind orbit randomization.
+        L = np.asarray(samples["locs"])  # (n_draws, n_chains, N, D)
+        iu = np.triu_indices(L.shape[2], k=1)
+        d = np.linalg.norm(
+            L[:, :, :, None, :] - L[:, :, None, :, :], axis=-1
+        )[:, :, iu[0], iu[1]]
+        conv.update(summarize_chains({"locs_pairwise_dist": d}))
     A_post = samples["A"].mean(axis=(0, 1))
     A_true = np.asarray(true["A"])
     # link-prediction AUC (the paper's headline qualitative metric)

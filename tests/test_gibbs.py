@@ -257,3 +257,56 @@ def test_glm_laplace_escapes_remote_state():
         assert np.isfinite(np.asarray(p["bias"])).all()
         moved = moved or not np.allclose(np.asarray(p["bias"]), -200.0)
     assert moved, "glm Laplace block frozen at the underflow state"
+
+
+def test_latent_rotation_is_exact_gauge_move():
+    """The Haar orthogonal move on the latent locations must (a) leave every
+    identifiable quantity untouched — pairwise distances, edge probabilities,
+    the graph log-prior (the move's MH acceptance is exactly 1 because the
+    distance posterior is rotation-invariant) — while (b) actually moving the
+    raw coordinates, and (c) covering reflections (det Q = ±1 both occur)."""
+    from theano_pyglm_tpu.inference.gibbs import update_latent_rotation
+
+    spec = make_model("distance_weighted_model", 6, bkgd={"type": "none"})
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    locs0 = np.asarray(params["locs"], np.float64)
+    d0 = np.linalg.norm(locs0[:, None] - locs0[None, :], axis=-1)
+    lp0 = float(pop.graph.log_prior(params))
+
+    dets = []
+    for seed in range(8):
+        out = update_latent_rotation(jax.random.PRNGKey(seed), pop, params)
+        locs1 = np.asarray(out["locs"], np.float64)
+        d1 = np.linalg.norm(locs1[:, None] - locs1[None, :], axis=-1)
+        np.testing.assert_allclose(d1, d0, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(
+            float(pop.graph.log_prior(out)), lp0, rtol=1e-6
+        )
+        assert not np.allclose(locs1, locs0, atol=1e-3), "rotation was a no-op"
+        # recover the applied Q by least squares; must be orthogonal
+        Q, *_ = np.linalg.lstsq(locs0, locs1, rcond=None)
+        np.testing.assert_allclose(Q.T @ Q, np.eye(2), atol=1e-4)
+        dets.append(np.linalg.det(Q))
+    dets = np.asarray(dets)
+    assert (dets > 0.5).any() and (dets < -0.5).any(), (
+        f"Haar draw never produced a reflection across 8 seeds: dets={dets}"
+    )
+
+    # no-op on graphs without locations
+    spec2 = make_model("sparse_weighted_model", 4, bkgd={"type": "none"})
+    pop2 = Population(spec2)
+    p2 = pop2.sample(jax.random.PRNGKey(1))
+    out2 = update_latent_rotation(jax.random.PRNGKey(2), pop2, p2)
+    assert out2 is p2
+
+
+def test_procrustes_align_undoes_rotation():
+    from theano_pyglm_tpu.plotting import procrustes_align
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(9, 2)
+    th = 1.1
+    Q = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    Q = Q @ np.diag([1.0, -1.0])  # rotation + reflection
+    np.testing.assert_allclose(procrustes_align(X @ Q, X), X, atol=1e-10)

@@ -45,6 +45,13 @@ def test_mcmc_distance_model():
     assert "accept_rate_latent" in diag
     # locations actually move (HMC on latents is alive)
     assert samples["locs"].std(axis=0).max() > 1e-4
+    # the orientation-gauge move is wired into the sweep: successive draws'
+    # orientations are near-independent, so the angle of the first location
+    # must visit all four quadrants within 25 sweeps (a pure-HMC chain
+    # random-walks the orbit far too slowly for that at these step counts)
+    ang = np.arctan2(samples["locs"][:, 0, 1], samples["locs"][:, 0, 0])
+    quads = set(np.sign(np.cos(ang)) + 2 * np.sign(np.sin(ang)))
+    assert len(quads) >= 3, f"orientation orbit not mixing: quadrants {quads}"
 
 
 def test_mcmc_complete_graph_no_A_update():

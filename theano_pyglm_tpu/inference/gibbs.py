@@ -958,3 +958,46 @@ def update_er_rho(key, pop, params):
     n_total = A.size
     rho = jax.random.beta(key, a0 + n_edges, b0 + (n_total - n_edges))
     return {**params, "rho": jnp.clip(rho, 1e-6, 1.0 - 1e-6)}
+
+
+def update_latent_rotation(key, pop, params):
+    """Haar orthogonal Gibbs move on the latent locations (distance graph).
+
+    The distance model's posterior is exactly invariant under a rigid
+    rotation/reflection of all locations about the prior center: the edge
+    logits depend on the locations only through pairwise squared distances
+    (``models/network.py`` ``_logits``) and the prior is isotropic
+    N(0, σ_ℓ² I), so π(ℓQ | rest) = π(ℓ | rest) for every orthogonal Q.
+    Proposing ℓ → ℓQ with Q ~ Haar(O(D)) is therefore an MH move whose
+    acceptance ratio is exactly 1 — a Gibbs draw on the orientation gauge.
+
+    Why it exists: the likelihood has ZERO gradient along this orbit, so
+    the latent HMC block random-walks the orientation under the (invariant)
+    prior alone — the slowest direction in the flagship posterior (raw-
+    coordinate locs ESS ≈ 225 vs ≥ 990 on every other group, round 3). One
+    Haar draw per sweep mixes the orbit in a single step. Identifiable
+    functions of the locations — pairwise distances, edge probabilities,
+    link-prediction AUC — are untouched; raw-coordinate posteriors become
+    honestly orientation-averaged (plot draws through a Procrustes
+    alignment, ``plotting.procrustes_align``).
+
+    Haar on O(2) (the default D) is uniform angle × reflection coin, closed
+    form — no QR in the jitted sweep; general D uses QR of a Gaussian matrix
+    with the R-diagonal sign fix (Stewart 1980), the standard construction.
+    """
+    if pop.graph.name != "distance" or "locs" not in params:
+        return params
+    locs = params["locs"]
+    D = locs.shape[-1]
+    if D == 2:
+        k1, k2 = jax.random.split(key)
+        th = jax.random.uniform(k1, (), locs.dtype, 0.0, 2.0 * jnp.pi)
+        refl = jnp.where(jax.random.bernoulli(k2), 1.0, -1.0).astype(locs.dtype)
+        c, s = jnp.cos(th), jnp.sin(th)
+        # rotation by th, times diag(1, refl): second column sign carries the coin
+        Qm = jnp.stack([jnp.stack([c, -s * refl]), jnp.stack([s, c * refl])])
+    else:
+        G = jax.random.normal(key, (D, D), dtype=locs.dtype)
+        Qm, R = jnp.linalg.qr(G)
+        Qm = Qm * jnp.sign(jnp.diagonal(R))[None, :]
+    return {**params, "locs": locs @ Qm}

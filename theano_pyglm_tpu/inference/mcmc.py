@@ -37,6 +37,7 @@ from theano_pyglm_tpu.inference.gibbs import (
     update_glm_laplace,
     update_glm_laplace_shared,
     update_glm_laplace_st,
+    update_latent_rotation,
     update_sbm_hypers,
     update_sbm_types,
     update_weight_hypers,
@@ -278,7 +279,7 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
 
     def sweep(key, state, adapt, beta=1.0):
         params = state["params"]
-        k_blocks, k_wh, k_w, k_a, k_y, k_hyp, k_rho = jax.random.split(key, 7)
+        k_blocks, k_wh, k_w, k_a, k_y, k_hyp, k_rho, k_rot = jax.random.split(key, 8)
         block_keys = jax.random.split(k_blocks, len(_HMC_BLOCKS))
         new_state = {}
 
@@ -340,6 +341,10 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
         params = update_sbm_types(k_y, pop, params)
         params = update_sbm_hypers(k_hyp, pop, params)
         params = update_er_rho(k_rho, pop, params)
+        # acceptance-1 orientation-gauge draw: mixes the rotation orbit the
+        # latent HMC block can only random-walk (zero likelihood gradient
+        # along it); exact for the distance graph, no-op otherwise
+        params = update_latent_rotation(k_rot, pop, params)
 
         new_state["params"] = params
         return new_state

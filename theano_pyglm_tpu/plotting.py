@@ -9,7 +9,31 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["plot_results", "plot_network", "plot_filters", "plot_rates", "plot_ks"]
+__all__ = [
+    "plot_results",
+    "plot_network",
+    "plot_filters",
+    "plot_rates",
+    "plot_ks",
+    "procrustes_align",
+]
+
+
+def procrustes_align(X: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Orthogonally align latent locations ``X`` (N, D) to ``ref`` (N, D).
+
+    The distance-graph posterior is invariant under rotations/reflections of
+    the locations about the prior center (and the sampler deliberately mixes
+    that orbit, ``inference/gibbs.update_latent_rotation``), so raw draws
+    carry an arbitrary orientation. Plot/compare them through the orthogonal
+    Procrustes solution: Q* = argmin_{QᵀQ=I} ‖XQ − ref‖_F = UVᵀ from the SVD
+    of XᵀR (Schönemann 1966). No translation/scaling — the prior anchors
+    those, only the orientation is gauge.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    U, _, Vt = np.linalg.svd(X.T @ ref)
+    return X @ (U @ Vt)
 
 
 def _plt():
