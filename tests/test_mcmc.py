@@ -216,3 +216,41 @@ def test_mcmc_spatiotemporal_stimulus():
     )
     assert samples["w_stim_s"].shape == (10, 2, 4)
     assert samples["w_stim_t"].shape[0] == 10
+
+
+def test_sweep_stages_decomposition():
+    """make_sweep(stages=...) — (a) all stages enabled is bitwise the default
+    sweep; (b) a single-stage sweep leaves every other update group's
+    parameters untouched (the contract benchmarks/sweep_profile.py relies
+    on); (c) unknown stage names are rejected."""
+    from theano_pyglm_tpu.inference.mcmc import (
+        SWEEP_STAGES,
+        init_mcmc_state,
+        make_sweep,
+    )
+
+    spec = make_model("distance_weighted_model", 3, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 200)
+    data = pop.prepare_data(S)
+    state = init_mcmc_state(pop, true)
+    k = jax.random.PRNGKey(7)
+
+    full = make_sweep(pop, data)(k, state, False)
+    staged = make_sweep(pop, data, stages=SWEEP_STAGES)(k, state, False)
+    for name in full["params"]:
+        np.testing.assert_array_equal(
+            np.asarray(full["params"][name]), np.asarray(staged["params"][name])
+        )
+
+    only_latent = make_sweep(pop, data, stages=("latent",))(k, state, False)
+    moved = np.asarray(only_latent["params"]["locs"])
+    assert not np.array_equal(moved, np.asarray(true["locs"]))
+    for name in ("bias", "w_ir", "A", "W"):
+        np.testing.assert_array_equal(
+            np.asarray(only_latent["params"][name]), np.asarray(true[name])
+        )
+
+    with pytest.raises(ValueError):
+        make_sweep(pop, data, stages=("glm", "nonsense"))

@@ -51,6 +51,7 @@ from theano_pyglm_tpu.inference.hmc import (
 from theano_pyglm_tpu.utils.dtypes import default_float
 
 __all__ = [
+    "SWEEP_STAGES",
     "make_sweep",
     "gibbs_sample",
     "init_mcmc_state",
@@ -210,9 +211,14 @@ def init_mcmc_state(pop, params, step_size: float = 0.02) -> dict:
     return state
 
 
+#: update groups accepted by ``make_sweep(stages=...)`` — the three HMC/
+#: Laplace blocks plus the discrete/conjugate stages, in sweep order.
+SWEEP_STAGES = ("glm", "imp", "latent", "hypers", "adjacency", "discrete", "rotation")
+
+
 def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
                row_batch=None, fisher_params: Optional[dict] = None,
-               glm_update: str = "auto"):
+               glm_update: str = "auto", stages=None):
     """Build the jitted one-iteration Gibbs sweep (see module docstring).
 
     Returns ``sweep(key, state, adapt) -> state`` with ``adapt`` a traced
@@ -229,7 +235,19 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
     ``glm_update``: 'auto' (default — the Laplace independence-MH below),
     or 'hmc' to force the whitened-HMC fallback on the glm block (kept for
     A/B diagnostics and its Geweke stationarity test).
+
+    ``stages``: optional subset of :data:`SWEEP_STAGES` to run — the other
+    update groups are skipped (their state passes through unchanged). For
+    per-stage timing (``benchmarks/sweep_profile.py``) and A/B diagnostics
+    ONLY: a partial sweep is not a valid posterior kernel.
     """
+    if stages is not None:
+        unknown = set(stages) - set(SWEEP_STAGES)
+        if unknown:
+            raise ValueError(f"unknown sweep stages {sorted(unknown)}")
+
+    def _on(stage):
+        return stages is None or stage in stages
     # The glm (bias, stimulus) block is sampled by Laplace independence-MH
     # (gibbs.update_glm_laplace / _st / _shared): Newton to the per-neuron
     # conditional mode, Gaussian proposal at the mode, exact MH — with no
@@ -291,6 +309,9 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
         for (name, keys), k_b in zip(_HMC_BLOCKS, block_keys):
             if name not in state:
                 continue
+            if not _on(name):
+                new_state[name] = state[name]
+                continue
             if name == "glm" and glm_laplace:
                 params, acc = glm_laplace_fn(
                     k_b, pop, params, data, theta0, beta=beta, return_accept=True
@@ -333,18 +354,22 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
             new_state[name] = h
 
         # 3–5. discrete machinery + conjugate hypers
-        params = update_weight_hypers(k_wh, pop, params)
-        params = refresh_disconnected_weights(k_w, pop, params)
-        params = update_adjacency_collapsed(
-            k_a, pop, params, data, row_batch=row_batch, beta=beta
-        )
-        params = update_sbm_types(k_y, pop, params)
-        params = update_sbm_hypers(k_hyp, pop, params)
-        params = update_er_rho(k_rho, pop, params)
+        if _on("hypers"):
+            params = update_weight_hypers(k_wh, pop, params)
+            params = refresh_disconnected_weights(k_w, pop, params)
+        if _on("adjacency"):
+            params = update_adjacency_collapsed(
+                k_a, pop, params, data, row_batch=row_batch, beta=beta
+            )
+        if _on("discrete"):
+            params = update_sbm_types(k_y, pop, params)
+            params = update_sbm_hypers(k_hyp, pop, params)
+            params = update_er_rho(k_rho, pop, params)
         # acceptance-1 orientation-gauge draw: mixes the rotation orbit the
         # latent HMC block can only random-walk (zero likelihood gradient
         # along it); exact for the distance graph, no-op otherwise
-        params = update_latent_rotation(k_rot, pop, params)
+        if _on("rotation"):
+            params = update_latent_rotation(k_rot, pop, params)
 
         new_state["params"] = params
         return new_state
