@@ -825,12 +825,33 @@ def update_glm_laplace_shared(
     _, nH = grad_negH(w_star)
     C = jnp.linalg.cholesky(nH)
     log_det_C = jnp.sum(jnp.log(jnp.diag(C)))
-    z = jax.random.normal(k_b, (DB,), f)
-    w_prop = w_star + jax.scipy.linalg.solve_triangular(C.T, z, lower=False)
+    _HALF_LOG2PI = 0.9189385332046727
+
+    # DEFENSIVE MIXTURE — same disease and cure as _laplace_mh_block and
+    # the birth–death weight proposal: until round 4 this was the one
+    # remaining PURE Laplace independence proposal in the codebase, so a
+    # remote w_shared state (pathological init; a softplus model whose
+    # stabilized LL stays finite and nearly flat at very negative currents)
+    # could drive the reverse density q(w_cur) to e^{−10⁵} while
+    # π(w_cur) ~ e^{−10⁴} and freeze the GLOBAL filter forever — masked in
+    # practice because the per-neuron (bias, gain) sub-block keeps moving.
+    # Mixing 10 % of the prior into the proposal bounds the reverse density
+    # by 0.1·prior(w_cur), which cancels the prior term of π(w_cur) in the
+    # ratio and lets the chain escape in one accepted draw.
+    k_z, k_mix = jax.random.split(k_b)
+    z = jax.random.normal(k_z, (DB,), f)
+    delta = jax.scipy.linalg.solve_triangular(C.T, z, lower=False)
+    use_hat = jax.random.uniform(k_mix, (), f) < 0.9
+    # z reused across the mutually exclusive branches — each branch alone
+    # is the correct marginal draw
+    w_prop = jnp.where(use_hat, w_star + delta, s_mu + s_sd * z)
 
     def log_q(w):
         r = C.T @ (w - w_star)
-        return log_det_C - 0.5 * jnp.sum(r * r)
+        lq_hat = log_det_C - 0.5 * jnp.sum(r * r) - DB * _HALF_LOG2PI
+        zp = (w - s_mu) / s_sd
+        lq_prior = -0.5 * jnp.sum(zp * zp) - DB * (jnp.log(jnp.asarray(s_sd, f)) + _HALF_LOG2PI)
+        return jnp.logaddexp(jnp.log(0.9) + lq_hat, jnp.log(0.1) + lq_prior)
 
     def log_target(w):
         ll = jnp.sum(obs.log_likelihood(S, I0 + drive_of(w), nlin, dt))
@@ -840,7 +861,15 @@ def update_glm_laplace_shared(
     t_prop, t_cur = log_target(w_prop), log_target(params["w_stim_shared"])
     t_cur = jnp.where(jnp.isfinite(t_cur), t_cur, -jnp.inf)
     t_prop = jnp.where(jnp.isfinite(t_prop), t_prop, -jnp.inf)
-    log_alpha = t_prop - log_q(w_prop) - t_cur + log_q(params["w_stim_shared"])
+    lq_prop, lq_cur = log_q(w_prop), log_q(params["w_stim_shared"])
+    log_alpha = t_prop - lq_prop - t_cur + lq_cur
+    # non-finite REVERSE density hatch (mirrors _laplace_mh_block): the fit
+    # is a deterministic function of the fixed data + seed, so a broken one
+    # stays broken every sweep — accept a finite proposal rather than
+    # reject forever.
+    fixable = ~jnp.isfinite(lq_cur) & jnp.isfinite(t_prop - lq_prop)
+    log_alpha = jnp.where(fixable, jnp.inf, log_alpha)
+    log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
     acc_b = jnp.log(jax.random.uniform(k_u, (), f)) < log_alpha
     w_new = jnp.where(acc_b, w_prop, params["w_stim_shared"])
     params = {**params, "w_stim_shared": w_new}
