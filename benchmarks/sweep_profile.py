@@ -84,7 +84,7 @@ def main():
 
     rows = {}
     for stage in SWEEP_STAGES:
-        sweep_s = make_sweep(pop, data, stages=(stage,))
+        sweep_s = make_sweep(pop, data, stages=(stage,), diagnostic=True)
         rows[stage] = timed(sweep_s, state, args.reps, stage)
         print(f"  {stage:10s} {rows[stage]:8.3f} ms", file=sys.stderr)
 

@@ -244,7 +244,9 @@ def test_sweep_stages_decomposition():
             np.asarray(full["params"][name]), np.asarray(staged["params"][name])
         )
 
-    only_latent = make_sweep(pop, data, stages=("latent",))(k, state, False)
+    only_latent = make_sweep(pop, data, stages=("latent",), diagnostic=True)(
+        k, state, False
+    )
     moved = np.asarray(only_latent["params"]["locs"])
     assert not np.array_equal(moved, np.asarray(true["locs"]))
     for name in ("bias", "w_ir", "A", "W"):
@@ -253,4 +255,14 @@ def test_sweep_stages_decomposition():
         )
 
     with pytest.raises(ValueError):
-        make_sweep(pop, data, stages=("glm", "nonsense"))
+        make_sweep(pop, data, stages=("glm", "nonsense"), diagnostic=True)
+
+    # A strict stage subset without the diagnostic acknowledgment must be
+    # rejected — a partial sweep silently masquerading as a posterior
+    # kernel samples the wrong joint (adjacency depends on the hypers
+    # stage's disconnected-weight refresh; round-3 verdict #9).
+    with pytest.raises(ValueError, match="diagnostic"):
+        make_sweep(pop, data, stages=("adjacency",))
+    with pytest.raises(ValueError, match="diagnostic"):
+        make_sweep(pop, data, stages=("glm", "imp", "latent", "adjacency",
+                                      "discrete", "rotation"))
