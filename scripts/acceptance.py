@@ -271,19 +271,53 @@ def main():
     S, _ = pop.simulate(jax.random.PRNGKey(5), true, T4, stim=stim4)
     data4 = pop.prepare_data(S, stim=stim4)
     ns = 50 if q else 1000
-    samples4, diag4, _ = gibbs_sample(
-        pop, data4, jax.random.PRNGKey(5), n_samples=ns, n_warmup=ns,
-        chunk_size=min(200, ns),
-        init_params=smart_initialize(pop, data4),
+    n_chains4 = 2 if q else 4
+    # Multi-chain protocol with ANNEALED warmup (round-3 verdict #1b): a
+    # single un-annealed chain's block recovery was sampler-luck — the
+    # canonical key parked at ARI 0.749 for 500 straight draws while alt
+    # keys hit 1.0 (a self-consistent partial type assignment: wrong types
+    # bias the block prior on A rows, the mis-inferred rows keep the types
+    # wrong). Tempering the likelihood over the first half of warmup lets
+    # (A, filters, y) co-mix before the posterior sharpens; validated on
+    # TPU at this exact config: sampler keys {5, 15, 25} all reach ARI 1.0
+    # (vs {0.749, 1.0, 1.0} without annealing). Four chains make the
+    # evidence robust to residual luck: per-chain ARI + cross-chain type
+    # agreement are reported, so one parked chain cannot hide.
+    samples4, diag4, _ = gibbs_sample_chains(
+        pop, data4, jax.random.PRNGKey(5), n_chains=n_chains4,
+        n_samples=ns, n_warmup=ns, chunk_size=min(200, ns),
+        init_params=smart_initialize(pop, data4), anneal_frac=0.5,
     )
     half = ns // 2
-    aris = [adjusted_rand_index(samples4["y"][i], y_true) for i in range(half, ns)]
-    A_err = float(np.abs(samples4["A"][half:].mean(axis=0) - np.asarray(true["A"])).mean())
+    # samples4 leaves are (n_samples, n_chains, ...)
+    per_chain_ari, chain_modes = [], []
+    for c in range(n_chains4):
+        aris_c = [
+            adjusted_rand_index(samples4["y"][i, c], y_true)
+            for i in range(half, ns)
+        ]
+        per_chain_ari.append(round(float(np.mean(aris_c)), 3))
+        # posterior-mode type per neuron over the tail (for agreement)
+        tail = np.asarray(samples4["y"][half:, c])  # (half, N)
+        chain_modes.append(
+            np.array([np.bincount(tail[:, n]).argmax() for n in range(N4)])
+        )
+    cross = [
+        adjusted_rand_index(chain_modes[i], chain_modes[j])
+        for i in range(n_chains4)
+        for j in range(i + 1, n_chains4)
+    ]
+    A_err = float(
+        np.abs(samples4["A"][half:].mean(axis=(0, 1)) - np.asarray(true["A"])).mean()
+    )
     report["config4_sbm"] = {
         "n_samples": ns,
-        "accept_rate": round(float(diag4["accept_rate_glm"]), 3),
-        "planted_partition_ari_mean": round(float(np.mean(aris)), 3),
-        "planted_partition_ari_final": round(float(aris[-1]), 3),
+        "n_chains": n_chains4,
+        "anneal_frac": 0.5,
+        "accept_rate": round(float(np.mean(np.asarray(diag4["accept_rate_glm"]))), 3),
+        "planted_partition_ari_per_chain": per_chain_ari,
+        "planted_partition_ari_min_chain": min(per_chain_ari),
+        "cross_chain_type_agreement_ari": round(float(np.mean(cross)), 3),
         "adjacency_mean_abs_error": round(A_err, 3),
         "types_used": int(len(np.unique(samples4["y"][-1]))),
         "wall_s": round(time.time() - t0, 1),
