@@ -15,9 +15,18 @@ so a spike in bin t can influence the rate from bin t+1 onward, never its own
 bin (prevents instantaneous self-excitation in simulation and matches the
 reference's spike-history semantics).
 
-Implemented with ``lax.conv_general_dilated`` (XLA lowers this to MXU
-matmuls); the basis axis rides the conv feature dimension, the neuron axis the
-batch dimension.
+Implemented as a time-blocked im2col einsum: lag windows are materialized per
+block (L static slices of a (C+L-1, N) chunk) and contracted against the
+flipped basis on the MXU. This is the exact same arithmetic as a direct
+convolution, just reordered — NOT an approximation.
+
+Why not ``lax.conv_general_dilated``: on the TPU backend, compiling a 1-D
+conv with spatial length ~60k and kernel length 100–300 (batch 1–27,
+features 1→5) takes **minutes to unbounded** (measured round 4: T=60k/L=100
+and T=10k/L=300 both exceeded a 110-s compile budget; T=60k/L=300 exceeded
+580 s — the round-3 acceptance report's unattributed 110-s config-1
+"simulate_s" was exactly this, hit via the eager path). The blocked einsum
+compiles in ~1 s and runs bandwidth-bound.
 """
 
 from __future__ import annotations
@@ -31,12 +40,14 @@ from theano_pyglm_tpu.utils.dtypes import default_float
 __all__ = ["convolve_with_basis", "upsample_stim"]
 
 
-def convolve_with_basis(x: jax.Array, basis: jax.Array) -> jax.Array:
+def convolve_with_basis(x: jax.Array, basis: jax.Array, block: int = 2048) -> jax.Array:
     """Strictly-causal convolution of signal(s) with basis columns.
 
     Args:
       x: signal, shape (T,) or (T, N) — e.g. spike counts or a 1-D stimulus.
       basis: (L, B) filter basis (rows = lags 1·dt … L·dt).
+      block: time-block size for the im2col windows (peak extra memory is
+        block·L·N floats; output correctness does not depend on it).
 
     Returns:
       (T, B) if x is (T,), else (T, N, B), with
@@ -51,14 +62,35 @@ def convolve_with_basis(x: jax.Array, basis: jax.Array) -> jax.Array:
         x = x[:, None]
     T, N = x.shape
 
-    # Prepend L zeros so a VALID cross-correlation with the time-reversed
-    # basis yields exactly the strictly-causal sum above.
-    xp = jnp.concatenate([jnp.zeros((L, N), dtype=x.dtype), x], axis=0)  # (T+L, N)
-    lhs = xp.T[:, None, :]  # (N, 1, T+L)   batch=N, chan=1, width
-    rhs = jnp.flip(basis, axis=0).T[:, None, :]  # (B, 1, L)
-    out = lax.conv_general_dilated(lhs, rhs, window_strides=(1,), padding="VALID")
-    out = out[:, :, :T]  # (N, B, T)
-    out = jnp.transpose(out, (2, 0, 1))  # (T, N, B)
+    # out[t] = Σ_l basis[l]·x[t-1-l] = Σ_{l'} fb[l']·xp[t+l']  with
+    # xp = [zeros(L); x] (so xp[i] = x[i-L]) and fb = flip(basis, lags):
+    # substituting l' = L-1-l turns the causal sum into a plain correlation
+    # against the zero-padded signal.
+    fb = jnp.flip(basis, axis=0)  # (L, B)
+    C = min(int(block), T)
+    n_blocks = -(-T // C)
+    target = n_blocks * C + L - 1
+    xp = jnp.concatenate(
+        [jnp.zeros((L, N), dtype=x.dtype), x,
+         jnp.zeros((max(0, target - (T + L)), N), dtype=x.dtype)],
+        axis=0,
+    )
+
+    def blk(t0):
+        sl = lax.dynamic_slice_in_dim(xp, t0, C + L - 1)  # (C+L-1, N)
+        windows = jnp.stack(
+            [lax.slice_in_dim(sl, l, l + C) for l in range(L)]
+        )  # (L, C, N): windows[l, c] = xp[t0+c+l]
+        # HIGHEST keeps the contraction in true f32 (the design tensors feed
+        # the 1e-6 oracle-parity path); this is a one-time/setup matmul.
+        return jnp.einsum("lcn,lb->cnb", windows, fb,
+                          precision=lax.Precision.HIGHEST)
+
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * C
+    if n_blocks == 1:
+        out = blk(jnp.int32(0))  # (T≤C: no lax.map dispatch)
+    else:
+        out = lax.map(blk, starts).reshape(n_blocks * C, N, B)[:T]
     return out[:, 0, :] if squeeze else out
 
 
