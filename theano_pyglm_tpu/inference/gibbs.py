@@ -299,10 +299,18 @@ def update_adjacency_collapsed(
         a_sub_all = (S_n_sub @ psi_n_sub) * scale_sub  # (N,) hoisted Σ S·ψ
 
         def entry(carry, inp):
+            # fast path carries the current state's likelihood scalars
+            # (Σ S·clip(I_n), Σ e^{clip(I_n)}) so dll_cur costs no T-pass
             if use_sub:
-                I_n, I_n_sub, A_n, W_n = carry
+                if fast_path:
+                    I_n, I_n_sub, A_n, W_n, sS_In, sE_In = carry
+                else:
+                    I_n, I_n_sub, A_n, W_n = carry
             else:
-                I_n, A_n, W_n = carry
+                if fast_path:
+                    I_n, A_n, W_n, sS_In, sE_In = carry
+                else:
+                    I_n, A_n, W_n = carry
                 I_n_sub = I_n
             m, k = inp
             k_a, k_w, k_mix, k_u = jax.random.split(k, 4)
@@ -315,39 +323,41 @@ def update_adjacency_collapsed(
                 # model (λ = e^{clip(I)}, log λ = clip(I) — see make_nlin):
                 #   ΔLL(w) = Σ S·(clip(I_wo+wψ) − clip(I_wo))
                 #            − dt·Σ (e^{clip(I_wo+wψ)} − e^{clip(I_wo)})
-                # — one fused T-pass per evaluation instead of nested
-                # autodiff. The clip on the COMBINED exponent (not per-term)
-                # both matches the likelihood the HMC blocks sample — the MH
-                # ratio stays exact even when an excursion saturates the
-                # clip — and bounds every exp at e^40 so the f32 reduction
-                # cannot overflow to inf (inf−inf ⇒ NaN ⇒ the permanently
+                # — fused T-passes instead of nested autodiff. The clip on
+                # the COMBINED exponent (not per-term) both matches the
+                # likelihood the HMC blocks sample — the MH ratio stays
+                # exact even when an excursion saturates the clip — and
+                # bounds every exp at e^40 so the f32 reduction cannot
+                # overflow to inf (inf−inf ⇒ NaN ⇒ the permanently
                 # rejecting frozen chain observed on the round-2 flagship).
                 # Clip spec: ops/clipping.py (single source of truth).
-                I_wo_c = clip_exponent(I_wo)
-                E_wo = jnp.exp(I_wo_c)
-                sum_E_wo = jnp.sum(E_wo)
-                sum_S_Iwo = S_n @ I_wo_c
-
-                def dll(w):
-                    # β tempers the likelihood term only (annealed warmup)
-                    I1 = clip_exponent(I_wo + w * psi_m)
-                    return beta * (
-                        (S_n @ I1 - sum_S_Iwo)
-                        - dt * (jnp.sum(jnp.exp(I1)) - sum_E_wo)
-                    )
-
-                # The Newton iterations only shape the PROPOSAL, so they run
-                # on the per-sweep random time subsample drawn above (the
-                # MH ratio below uses the exact full-T ΔLL) — the sweep is
-                # HBM-bandwidth-bound and this cuts the dominant per-entry
-                # traffic ~2×.
+                #
+                # EVERYTHING proposal-shaping (Newton iterations AND the
+                # Laplace edge evidence Ẑ₁) runs on the per-sweep random
+                # time subsample drawn above; only the MH ratio's two ΔLL
+                # evaluations touch the full T grid. The sweep is
+                # HBM-bandwidth-bound, and this was the top stage of the
+                # round-4 profile (2.32 of 3.73 ms/sweep at N=27/T=60k);
+                # exactness never rests on the proposal, only on the ratio.
                 psi_s = psi_n_sub[:, m]
                 I_s = I_n_sub - A_n[m] * W_n[m] * psi_s
                 a_sub = a_sub_all[m]  # Σ S·ψ·scale (precomputed per row)
+                I0s_c = clip_exponent(I_s)
+                sum_E0s = jnp.sum(jnp.exp(I0s_c))
+                sum_S_I0s = S_n_sub @ I0s_c
+
+                def dll_fit(w):
+                    # SUBSAMPLED ΔLL — shapes the proposal (evidence Ẑ₁);
+                    # β tempers the likelihood term only (annealed warmup)
+                    I1 = clip_exponent(I_s + w * psi_s)
+                    return beta * scale_sub * (
+                        (S_n_sub @ I1 - sum_S_I0s)
+                        - dt * (jnp.sum(jnp.exp(I1)) - sum_E0s)
+                    )
 
                 def dll_grad_hess(w):
-                    # proposal-shaping only (MH ratio uses dll above); the
-                    # combined-exponent clip keeps u ≤ e^40 (no f32 inf)
+                    # proposal-shaping only; the combined-exponent clip
+                    # keeps u ≤ e^40 (no f32 inf)
                     u = exp_clipped(I_s + w * psi_s)
                     return (
                         beta * (a_sub - dt * scale_sub * (u @ psi_s)),
@@ -356,21 +366,22 @@ def update_adjacency_collapsed(
 
             else:
 
-                def dll(w):
-                    # ΔLL(w): likelihood gain of the edge at weight w.
+                def dll_fit(w):
+                    # ΔLL(w): likelihood gain of the edge at weight w
+                    # (generic path: no subsample machinery, exact ΔLL).
                     return beta * jnp.sum(
                         obs.log_likelihood(S_n, I_wo + w * psi_m, nlin, dt)
                         - obs.log_likelihood(S_n, I_wo, nlin, dt)
                     )
 
-                _d1 = jax.grad(dll)
+                _d1 = jax.grad(dll_fit)
 
                 def dll_grad_hess(w):
                     return _d1(w), jax.grad(_d1)(w)
 
             def g(w):
                 z = (w - mu) / sig
-                return dll(w) - 0.5 * (z * z + _LOG2PI) - jnp.log(sig)
+                return dll_fit(w) - 0.5 * (z * z + _LOG2PI) - jnp.log(sig)
 
             def g_grad_hess(w):
                 d1, d2 = dll_grad_hess(w)
@@ -422,10 +433,39 @@ def update_adjacency_collapsed(
             )
             w_prop = jnp.where(a_prop > 0, w_birth, mu + sig * jax.random.normal(k_w))
 
-            def log_target(a, w):
+            # Exact full-T ΔLL at the two weights the MH ratio needs.
+            # Fast path: ONE full-T reduction group — the proposal's
+            # combined exponent clip(I_wo + w_prop·ψ) and the baseline
+            # clip(I_wo) sums share a single read of (I_n, ψ_m, S_n); the
+            # CURRENT state's term is free because clip(I_wo + W_cur·ψ) is
+            # (to float reordering) exactly the carried current I_n, whose
+            # likelihood scalars (Σ S·clip(I_n), Σ e^{clip(I_n)}) ride the
+            # scan carry and are refreshed in the update pass below. When
+            # A[n,m]=0 the carried scalars describe the wrong current, but
+            # then log_target multiplies dll_cur by a=0 — always finite,
+            # never consumed. (A fused (T,3) stacked-matrix formulation was
+            # also built and measured AGAINST this: 21.9 vs 14.6 ms for the
+            # 4-chain flagship sweep — the stack defeats the sibling-
+            # reduction fusion XLA finds for the separate reductions.)
+            if fast_path:
+                I_wo_c = clip_exponent(I_wo)
+                I1p_c = clip_exponent(I_wo + w_prop * psi_m)
+                sum_S_Iwo = S_n @ I_wo_c
+                sum_E_wo = jnp.sum(jnp.exp(I_wo_c))
+                dll_prop = beta * (
+                    (S_n @ I1p_c - sum_S_Iwo)
+                    - dt * (jnp.sum(jnp.exp(I1p_c)) - sum_E_wo)
+                )
+                dll_cur = beta * (
+                    (sS_In - sum_S_Iwo) - dt * (sE_In - sum_E_wo)
+                )
+            else:
+                dll_prop, dll_cur = dll_fit(w_prop), dll_fit(W_n[m])
+
+            def log_target(a, w, dll_w):
                 zp = (w - mu) / sig
                 lp = -0.5 * (zp * zp + _LOG2PI) - jnp.log(sig)
-                return lp + a * (dll(w) + logit_n[m])
+                return lp + a * (dll_w + logit_n[m])
 
             def log_proposal(a, w):
                 zq = (w - w_star) / s
@@ -438,9 +478,9 @@ def update_adjacency_collapsed(
                 )
 
             log_alpha = (
-                log_target(a_prop, w_prop)
+                log_target(a_prop, w_prop, dll_prop)
                 - log_proposal(a_prop, w_prop)
-                - log_target(A_n[m], W_n[m])
+                - log_target(A_n[m], W_n[m], dll_cur)
                 + log_proposal(A_n[m], W_n[m])
             )
             accept = jnp.log(jax.random.uniform(k_u)) < log_alpha
@@ -449,16 +489,43 @@ def update_adjacency_collapsed(
 
             I_n = I_wo + a_new * w_new * psi_m
             A_up, W_up = A_n.at[m].set(a_new), W_n.at[m].set(w_new)
+            if fast_path:
+                # refresh the carried scalars from the carried current —
+                # fused with the I_n update's read of (I_wo, ψ_m, S_n),
+                # and recomputed unconditionally so scalars ≡ f(I_n) holds
+                # whether or not the move was accepted
+                I_n_c = clip_exponent(I_n)
+                sS_In = S_n @ I_n_c
+                sE_In = jnp.sum(jnp.exp(I_n_c))
             if use_sub:
                 I_n_sub = (I_n_sub - A_n[m] * W_n[m] * psi_n_sub[:, m]) + (
                     a_new * w_new * psi_n_sub[:, m]
                 )
-                return (I_n, I_n_sub, A_up, W_up), accept
-            return (I_n, A_up, W_up), accept
+                carry_out = (
+                    (I_n, I_n_sub, A_up, W_up, sS_In, sE_In)
+                    if fast_path else (I_n, I_n_sub, A_up, W_up)
+                )
+            else:
+                carry_out = (
+                    (I_n, A_up, W_up, sS_In, sE_In)
+                    if fast_path else (I_n, A_up, W_up)
+                )
+            return carry_out, accept
 
-        init = (I_n, I_n_sub0, A_n, W_n) if use_sub else (I_n, A_n, W_n)
+        if fast_path:
+            I_n_c0 = clip_exponent(I_n)
+            sS0, sE0 = S_n @ I_n_c0, jnp.sum(jnp.exp(I_n_c0))
+            init = (
+                (I_n, I_n_sub0, A_n, W_n, sS0, sE0)
+                if use_sub else (I_n, A_n, W_n, sS0, sE0)
+            )
+        else:
+            init = (I_n, I_n_sub0, A_n, W_n) if use_sub else (I_n, A_n, W_n)
         out_carry, accepts = jax.lax.scan(entry, init, (jnp.arange(N), keys))
-        A_n, W_n = out_carry[-2], out_carry[-1]
+        if fast_path:
+            A_n, W_n = out_carry[-4], out_carry[-3]
+        else:
+            A_n, W_n = out_carry[-2], out_carry[-1]
         return A_n, W_n, jnp.mean(accepts.astype(jnp.float32))
 
     keys = jax.random.split(key, N)
