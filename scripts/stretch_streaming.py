@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Long-recording stretch run: N=100 neurons, T=600,000 bins (10 min @ 1 ms).
+
+Demonstrates the SURVEY.md §5 long-context machinery at a scale that needs
+it (round-3 verdict #6):
+
+  * the full unit-coupling tensor ψ is (T, N, N) = 24 GB — larger than a
+    v5e's 16 GB HBM — so the adjacency birth–death sweep streams ψ one
+    postsynaptic-row batch at a time (``row_batch``; one row is 240 MB);
+  * MAP runs with ``materialize_design=False`` + ``time_chunk``: the
+    (T, N, B) spike design (1.2 GB here, unbounded in general) is never
+    materialized — each time block rebuilds its design from the spikes with
+    an exact L-bin causal halo, and ``jax.checkpoint`` keeps the VJP's
+    working set to one block;
+  * MAP is driven in small ``max_iter`` slices from the host so no single
+    XLA execution exceeds the axon tunnel's ~30 s watchdog; the MCMC chunk
+    size is bounded for the same reason.
+
+Emits results/<dir>/stretch_report.json with wall clocks, ms/sweep,
+acceptance rates, link-prediction AUC vs the generating network, and Geyer
+ESS on the connected weights.
+
+  python scripts/stretch_streaming.py [--quick]   # --quick: CPU smoke sizes
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny sizes (CPU smoke)")
+    ap.add_argument("--resultsDir", "-r", default="results/stretch_r4")
+    ap.add_argument("--n_warmup", type=int, default=150)
+    ap.add_argument("--n_samples", type=int, default=300)
+    args = ap.parse_args()
+    q = args.quick
+
+    import jax
+    import jax.numpy as jnp
+
+    from theano_pyglm_tpu import Population, make_model
+    from theano_pyglm_tpu.inference import gibbs_sample, map_fit
+    from theano_pyglm_tpu.inference.smart_init import smart_initialize
+    from theano_pyglm_tpu.utils.diagnostics import ess
+
+    N = 10 if q else 100
+    T = 6_000 if q else 600_000
+    report = {"N": N, "T": T}
+    report["psi_full_gb"] = round(T * N * N * 4 / 1e9, 1)
+    report["x_imp_gb"] = round(T * N * 5 * 4 / 1e9, 2)
+
+    # Identifiable planted coupling (the acceptance config-2 recipe, balanced
+    # so the N=100 in-degree does not produce runaway excitation): edges from
+    # the ER prior draw, weights ±1.5 with equal sign probability, inhibitory
+    # self-coupling.
+    spec = make_model("sparse_weighted_model", N)
+    spec["bias"] = {"mu": 2.3, "sigma": 0.3}
+    pop = Population(spec)
+    true = dict(pop.sample(jax.random.PRNGKey(0)))
+    rngw = np.random.RandomState(1)
+    Wp = np.where(rngw.rand(N, N) < 0.5, 1.5, -1.5).astype(np.float32)
+    np.fill_diagonal(Wp, -2.0)
+    true["W"] = jnp.asarray(Wp) * true["A"]
+
+    rng = np.random.RandomState(2)
+    stim = rng.randn(T, 1).astype(np.float32)
+    t0 = time.time()
+    S, rates = pop.simulate(jax.random.PRNGKey(3), true, T, stim=stim)
+    jax.block_until_ready(S)
+    report["simulate_s"] = round(time.time() - t0, 1)
+    report["mean_rate_hz"] = round(float(np.asarray(rates).mean()), 2)
+    report["spikes"] = int(np.asarray(S).sum())
+    print(f"simulated: {report}", flush=True)
+
+    # ---- MAP, fully streaming: design never materialized ------------------
+    t0 = time.time()
+    chunk = 2_000 if q else 65_536
+    pop_stream = Population(spec, time_chunk=chunk)
+    data_stream = pop_stream.prepare_data(S, stim=stim, materialize_design=False)
+    init = smart_initialize(pop_stream, data_stream)
+    init["A"] = jnp.ones((N, N))
+    # host-driven slices: each map_fit call is one bounded XLA execution
+    logp_prev, fit, total_iters = -np.inf, init, 0
+    for _ in range(12):
+        fit, logp, iters = map_fit(pop_stream, data_stream, fit, max_iter=40)
+        jax.block_until_ready(fit)
+        total_iters += int(iters)
+        if abs(float(logp) - logp_prev) < 1e-3 * abs(float(logp)):
+            break
+        logp_prev = float(logp)
+    report["map_streaming"] = {
+        "log_joint": float(logp),
+        "log_joint_at_truth": float(pop_stream.log_joint(true, data_stream)),
+        "iters": total_iters,
+        "wall_s": round(time.time() - t0, 1),
+        "time_chunk": chunk,
+    }
+    print(f"MAP done: {report['map_streaming']}", flush=True)
+
+    # ---- MCMC: materialized basis design (1.2 GB), ψ row-streamed ---------
+    t0 = time.time()
+    data = pop.prepare_data(S, stim=stim)
+    row_batch = 2 if q else 4
+    n_w, n_s = (20, 30) if q else (args.n_warmup, args.n_samples)
+    samples, diag, _ = gibbs_sample(
+        pop, data, jax.random.PRNGKey(4),
+        n_samples=n_s, n_warmup=n_w, thin=1,
+        chunk_size=10 if q else 25,
+        init_params=dict(fit),
+        row_batch=row_batch,
+    )
+    wall = time.time() - t0
+    half = n_s // 2
+    A_post = np.asarray(samples["A"][half:]).mean(axis=0)
+    A_true = np.asarray(true["A"])
+    off = ~np.eye(N, dtype=bool)
+    th = np.sort(np.unique(A_post[off]))[::-1]
+    tpr = [(A_post[off][A_true[off] == 1] >= t).mean() for t in th]
+    fpr = [(A_post[off][A_true[off] == 0] >= t).mean() for t in th]
+    auc = float(np.trapezoid(tpr, fpr))
+    W_post = np.asarray(samples["W"][half:]).mean(axis=0)
+    conn = (A_true > 0) & off
+    w_err = float(np.abs((W_post - np.asarray(true["W"]))[conn]).mean())
+    # Geyer ESS on the connected weights' chains (tail half)
+    W_tail = np.asarray(samples["W"][half:])[:, conn]  # (half, n_edges)
+    W_sub = W_tail[:, :: max(1, W_tail.shape[1] // 200)]  # subsample edges
+    ess_vals = ess(W_sub[:, None, :])  # (n, 1 chain, p)
+    report["mcmc"] = {
+        "n_warmup": n_w,
+        "n_samples": n_s,
+        "row_batch": row_batch,
+        "ms_per_sweep": round(wall / (n_w + n_s) * 1e3, 1),
+        "wall_s": round(wall, 1),
+        "accept_rate_glm": round(float(np.asarray(diag["accept_rate_glm"])), 3),
+        "accept_rate_imp": round(float(np.asarray(diag["accept_rate_imp"])), 3),
+        "link_prediction_auc": round(auc, 3),
+        "W_mean_abs_err_connected": round(w_err, 3),
+        "ess_W_median": round(float(np.median(ess_vals)), 1),
+        "ess_W_min": round(float(np.min(ess_vals)), 1),
+    }
+    print(f"MCMC done: {report['mcmc']}", flush=True)
+
+    os.makedirs(args.resultsDir, exist_ok=True)
+    with open(os.path.join(args.resultsDir, "stretch_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
