@@ -90,6 +90,26 @@ def test_mcmc_thinning_unaligned_chunks():
     np.testing.assert_allclose(thinned["W"], full["W"][2::3], rtol=1e-12)
 
 
+def test_mcmc_thinning_on_device_matches_raw_stream():
+    """thin | chunk_size engages the device-thinned nested-scan path
+    (collect_every=thin in _run_chunk); its retained draws must be
+    bit-identical to every thin-th draw of the unthinned stream (same
+    chunk boundaries → same per-sweep key stream)."""
+    spec = make_model("sparse_weighted_model", 2, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 200)
+    data = pop.prepare_data(S)
+    kw = dict(n_warmup=10, chunk_size=25, init_params=true)
+    full, _, _ = gibbs_sample(pop, data, jax.random.PRNGKey(2), n_samples=25, **kw)
+    thinned, _, _ = gibbs_sample(
+        pop, data, jax.random.PRNGKey(2), n_samples=5, thin=5, **kw
+    )
+    assert thinned["W"].shape[0] == 5
+    np.testing.assert_array_equal(thinned["W"], full["W"][4::5])
+    np.testing.assert_array_equal(thinned["A"], full["A"][4::5])
+
+
 def test_annealed_warmup_runs():
     """anneal_frac > 0 tempers the likelihood during warmup (β ramp) and
     must leave sampling exact and finite; 0.0 (default) is the identity."""

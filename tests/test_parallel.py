@@ -41,6 +41,24 @@ def test_chain_parallel_sampling(er_problem):
     assert "convergence" in diag
 
 
+def test_chain_device_thinning_matches_raw_stream(er_problem):
+    """thin | chunk_size engages the device-thinned path in
+    _run_chunk_chains; retained draws must be bit-identical to every
+    thin-th draw of the unthinned chains (same chunk boundaries → same
+    per-sweep key stream)."""
+    pop, data = er_problem
+    kw = dict(n_chains=2, n_warmup=10, chunk_size=20)
+    full, _, _ = gibbs_sample_chains(
+        pop, data, jax.random.PRNGKey(5), n_samples=20, **kw
+    )
+    thinned, _, _ = gibbs_sample_chains(
+        pop, data, jax.random.PRNGKey(5), n_samples=4, thin=5, **kw
+    )
+    assert thinned["W"].shape[:2] == (4, 2)
+    np.testing.assert_array_equal(thinned["W"], full["W"][4::5])
+    np.testing.assert_array_equal(thinned["A"], full["A"][4::5])
+
+
 def test_chain_convergence_diagnostics(er_problem):
     pop, data = er_problem
     samples, diag, _ = gibbs_sample_chains(

@@ -430,7 +430,17 @@ def anneal_schedule(n_warmup: int, anneal_frac: float):
 
 @partial(jax.jit, static_argnums=(0, 1, 5))
 def _run_chunk(sweep, n_iters, key, state, adapt, collect_every, betas=None):
-    """Run ``n_iters`` sweeps under lax.scan, collecting thinned params."""
+    """Run ``n_iters`` sweeps under lax.scan.
+
+    ``collect_every=0`` collects nothing; ``k >= 1`` collects the params
+    pytree after sweeps k-1, 2k-1, ... (``k`` must divide ``n_iters`` for
+    k > 1). k > 1 thins ON DEVICE via a nested scan, so the host transfer
+    is 1/k of the raw chain — through the axon tunnel (measured 0.3–22 MB/s
+    device→host) the unthinned transfer dominated the flagship wall clock.
+    The PRNG stream is identical for every ``collect_every``: one key per
+    sweep, consumed in iteration order, so the draws are bit-identical to
+    the collect-every-sweep path.
+    """
     if betas is None:
         betas = jnp.ones((n_iters,))
 
@@ -450,8 +460,29 @@ def _run_chunk(sweep, n_iters, key, state, adapt, collect_every, betas=None):
     if collect_every == 0:
         (state, _), _ = jax.lax.scan(body, (state, jnp.asarray(0)), (keys, betas))
         return state, None
+    if collect_every == 1:
+        (state, _), samples = jax.lax.scan(
+            body_collect, (state, jnp.asarray(0)), (keys, betas)
+        )
+        return state, samples
+    if n_iters % collect_every:
+        raise ValueError(
+            f"collect_every={collect_every} must divide n_iters={n_iters}"
+        )
+
+    def outer(carry, inp):
+        keys_b, betas_b = inp
+        carry, _ = jax.lax.scan(body, carry, (keys_b, betas_b))
+        return carry, carry[0]["params"]
+
+    n_out = n_iters // collect_every
     (state, _), samples = jax.lax.scan(
-        body_collect, (state, jnp.asarray(0)), (keys, betas)
+        outer,
+        (state, jnp.asarray(0)),
+        (
+            keys.reshape((n_out, collect_every) + keys.shape[1:]),
+            betas.reshape(n_out, collect_every),
+        ),
     )
     return state, samples
 
@@ -622,10 +653,17 @@ def gibbs_sample(
         n = min(chunk_size, n_warmup + total - it_global)
         k_run, k = jax.random.split(k_run)
         prev_it = it_global
-        state, samples = _run_chunk(sweep, n, k, state, jnp.asarray(False), 1)
+        phase = it_global - n_warmup
+        # Thin on device when the chunk aligns with the global thinning grid
+        # (the kept draws are then exactly thin_chunk's selection); otherwise
+        # fall back to collect-every-sweep + host thinning. Same PRNG stream
+        # and identical retained draws either way.
+        ce = thin if (thin > 1 and n % thin == 0 and phase % thin == 0) else 1
+        state, samples = _run_chunk(sweep, n, k, state, jnp.asarray(False), ce)
         state = apply_bias_ars(state, it_global + n)
         samples = jax.tree.map(np.asarray, samples)
-        samples = thin_chunk(samples, thin, it_global - n_warmup)
+        if ce == 1:
+            samples = thin_chunk(samples, thin, phase)
         host_chunks.append(samples)
         it_global += n
         persist_samples(it_global, samples)
