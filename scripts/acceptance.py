@@ -347,6 +347,7 @@ def main():
     os.makedirs(args.resultsDir, exist_ok=True)
     with open(os.path.join(args.resultsDir, "acceptance_report.json"), "w") as f:
         json.dump(report, f, indent=2)
+        f.write("\n")
     print(json.dumps(report, indent=2))
 
 

@@ -126,6 +126,7 @@ def main():
     )
     with open(os.path.join(args.resultsDir, "flagship_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+        f.write("\n")
 
 
 if __name__ == "__main__":
