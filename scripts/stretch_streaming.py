@@ -36,9 +36,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny sizes (CPU smoke)")
-    ap.add_argument("--resultsDir", "-r", default="results/stretch_r4")
+    ap.add_argument("--resultsDir", "-r", default="results/stretch_r5")
     ap.add_argument("--n_warmup", type=int, default=150)
     ap.add_argument("--n_samples", type=int, default=300)
+    ap.add_argument(
+        "--chunk_size", type=int, default=25,
+        help="max sweeps per XLA execution; auto-reduced by the sweep probe",
+    )
     args = ap.parse_args()
     q = args.quick
 
@@ -105,14 +109,40 @@ def main():
     print(f"MAP done: {report['map_streaming']}", flush=True)
 
     # ---- MCMC: materialized basis design (1.2 GB), ψ row-streamed ---------
-    t0 = time.time()
     data = pop.prepare_data(S, stim=stim)
     row_batch = 2 if q else 4
     n_w, n_s = (20, 30) if q else (args.n_warmup, args.n_samples)
+    cap = 10 if q else args.chunk_size
+    # This scale has never been timed: probe one sweep's wall clock so no
+    # single XLA execution in the main run exceeds the axon tunnel's
+    # ~30 s watchdog. One 5-sweep call, chunk_size=1; the first sample chunk
+    # pays the n=1 compile, so steady state is the median of the later
+    # chunk-to-chunk gaps (a separate warm *call* would re-trace: make_sweep
+    # builds fresh closures per call, defeating the jit cache).
+    ticks = []
+    t0 = time.time()
+    gibbs_sample(
+        pop, data, jax.random.PRNGKey(99),
+        n_samples=4, n_warmup=1, thin=1, chunk_size=1,
+        init_params=dict(fit), row_batch=row_batch,
+        callback=lambda phase, it, st: ticks.append((phase, time.time())),
+    )
+    probe_cold = time.time() - t0
+    gaps = [b - a for (pa, a), (pb, b) in zip(ticks, ticks[1:]) if pa == pb == "sample"]
+    sweep_s = sorted(gaps)[len(gaps) // 2]
+    chunk_size = max(1, min(cap, int(18.0 / max(sweep_s, 1e-3))))
+    report["sweep_probe"] = {
+        "cold_5sweeps_s": round(probe_cold, 1),
+        "warm_s_per_sweep": round(sweep_s, 2),
+        "chosen_chunk_size": chunk_size,
+    }
+    print(f"sweep probe: {report['sweep_probe']}", flush=True)
+
+    t0 = time.time()
     samples, diag, _ = gibbs_sample(
         pop, data, jax.random.PRNGKey(4),
         n_samples=n_s, n_warmup=n_w, thin=1,
-        chunk_size=10 if q else 25,
+        chunk_size=chunk_size,
         init_params=dict(fit),
         row_batch=row_batch,
     )
@@ -136,6 +166,7 @@ def main():
         "n_warmup": n_w,
         "n_samples": n_s,
         "row_batch": row_batch,
+        "chunk_size": chunk_size,
         "ms_per_sweep": round(wall / (n_w + n_s) * 1e3, 1),
         "wall_s": round(wall, 1),
         "accept_rate_glm": round(float(np.asarray(diag["accept_rate_glm"])), 3),
