@@ -43,6 +43,12 @@ def main():
         "--chunk_size", type=int, default=25,
         help="max sweeps per XLA execution; auto-reduced by the sweep probe",
     )
+    ap.add_argument(
+        "--no_probe", action="store_true",
+        help="skip the sweep-time probe and trust --chunk_size (use on a "
+        "resume, with the chunk size the first attempt's probe chose, so "
+        "the probe's compiles are not paid twice)",
+    )
     args = ap.parse_args()
     q = args.quick
 
@@ -113,31 +119,39 @@ def main():
     row_batch = 2 if q else 4
     n_w, n_s = (20, 30) if q else (args.n_warmup, args.n_samples)
     cap = 10 if q else args.chunk_size
-    # This scale has never been timed: probe one sweep's wall clock so no
-    # single XLA execution in the main run exceeds the axon tunnel's
-    # ~30 s watchdog. One 5-sweep call, chunk_size=1; the first sample chunk
-    # pays the n=1 compile, so steady state is the median of the later
-    # chunk-to-chunk gaps (a separate warm *call* would re-trace: make_sweep
-    # builds fresh closures per call, defeating the jit cache).
-    ticks = []
-    t0 = time.time()
-    gibbs_sample(
-        pop, data, jax.random.PRNGKey(99),
-        n_samples=4, n_warmup=1, thin=1, chunk_size=1,
-        init_params=dict(fit), row_batch=row_batch,
-        callback=lambda phase, it, st: ticks.append((phase, time.time())),
-    )
-    probe_cold = time.time() - t0
-    gaps = [b - a for (pa, a), (pb, b) in zip(ticks, ticks[1:]) if pa == pb == "sample"]
-    sweep_s = sorted(gaps)[len(gaps) // 2]
-    chunk_size = max(1, min(cap, int(18.0 / max(sweep_s, 1e-3))))
-    report["sweep_probe"] = {
-        "cold_5sweeps_s": round(probe_cold, 1),
-        "warm_s_per_sweep": round(sweep_s, 2),
-        "chosen_chunk_size": chunk_size,
-    }
-    print(f"sweep probe: {report['sweep_probe']}", flush=True)
+    if args.no_probe:
+        chunk_size = cap
+    else:
+        # This scale has never been timed: probe one sweep's wall clock so no
+        # single XLA execution in the main run exceeds the axon tunnel's
+        # ~30 s watchdog. One 5-sweep call, chunk_size=1; the first sample
+        # chunk pays the n=1 compile, so steady state is the median of the
+        # later chunk-to-chunk gaps (a separate warm *call* would re-trace:
+        # make_sweep builds fresh closures per call, defeating the jit cache).
+        ticks = []
+        t0 = time.time()
+        gibbs_sample(
+            pop, data, jax.random.PRNGKey(99),
+            n_samples=4, n_warmup=1, thin=1, chunk_size=1,
+            init_params=dict(fit), row_batch=row_batch,
+            callback=lambda phase, it, st: ticks.append((phase, time.time())),
+        )
+        probe_cold = time.time() - t0
+        gaps = [b - a for (pa, a), (pb, b) in zip(ticks, ticks[1:]) if pa == pb == "sample"]
+        sweep_s = sorted(gaps)[len(gaps) // 2]
+        chunk_size = max(1, min(cap, int(18.0 / max(sweep_s, 1e-3))))
+        report["sweep_probe"] = {
+            "cold_5sweeps_s": round(probe_cold, 1),
+            "warm_s_per_sweep": round(sweep_s, 2),
+            "chosen_chunk_size": chunk_size,
+        }
+        print(f"sweep probe: {report['sweep_probe']}", flush=True)
 
+    # Checkpoint + resume: the axon tunnel drops workers mid-run (observed:
+    # remote_compile broken pipe 25 min into this very sweep's compile) —
+    # a crashed attempt resumes from the last completed chunk instead of
+    # re-paying simulate/MAP/warmup. Resume requires the same chunk layout:
+    # pass --no_probe --chunk_size <chosen> on the retry.
     t0 = time.time()
     samples, diag, _ = gibbs_sample(
         pop, data, jax.random.PRNGKey(4),
@@ -145,6 +159,8 @@ def main():
         chunk_size=chunk_size,
         init_params=dict(fit),
         row_batch=row_batch,
+        checkpoint_dir=os.path.join(args.resultsDir, "ckpt"),
+        resume=True,
     )
     wall = time.time() - t0
     half = n_s // 2

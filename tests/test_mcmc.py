@@ -286,3 +286,55 @@ def test_sweep_stages_decomposition():
     with pytest.raises(ValueError, match="diagnostic"):
         make_sweep(pop, data, stages=("glm", "imp", "latent", "adjacency",
                                       "discrete", "rotation"))
+
+
+def test_warmup_chunk_uniform():
+    """The warmup phase must compile ONE chunk length: warmup_chunk returns
+    the largest c <= chunk_size dividing every adaptation segment (falling
+    back to greedy chunk_size when segments share no useful divisor)."""
+    from theano_pyglm_tpu.inference.mcmc import warmup_chunk, warmup_schedule
+
+    # flagship shape: segments 150/350/350/150, gcd 50
+    assert warmup_chunk(1000, warmup_schedule(1000), 250) == 50
+    # no boundaries (short warmup): still avoids the 25+5 remainder pair —
+    # 30 = 15 x 2 is one compiled length instead of two
+    assert warmup_chunk(30, warmup_schedule(30), 25) == 15
+    # coprime segments (1001 -> 150/350/350/151, gcd 1) -> fallback
+    assert warmup_chunk(1001, warmup_schedule(1001), 250) == 250
+    # the chosen c tiles every segment exactly: replay the driver loop
+    for n_warmup, chunk in [(1000, 250), (40, 13), (200, 64)]:
+        bounds = warmup_schedule(n_warmup)
+        c = warmup_chunk(n_warmup, bounds, chunk)
+        it, lengths = 0, set()
+        while it < n_warmup:
+            next_stop = min([n_warmup] + [b for b, _ in bounds if b > it])
+            n = min(c, next_stop - it)
+            lengths.add(n)
+            it += n
+        if c != chunk:  # uniform mode engaged -> exactly one compiled length
+            assert lengths == {c}
+
+
+def test_gibbs_warmup_single_compiled_length(monkeypatch):
+    """End-to-end: a boundaried warmup run issues _run_chunk calls with ONE
+    distinct n_iters (n_warmup=40 -> boundaries {6,20,34}, segments
+    6/14/14/6, gcd 2 <= chunk 13)."""
+    from theano_pyglm_tpu.inference import mcmc as mcmc_mod
+
+    seen = []
+    real = mcmc_mod._run_chunk
+
+    def spy(sweep, n_iters, key, state, adapt, collect_every, betas=None):
+        if bool(adapt):  # warmup chunks only
+            seen.append(n_iters)
+        return real(sweep, n_iters, key, state, adapt, collect_every, betas)
+
+    monkeypatch.setattr(mcmc_mod, "_run_chunk", spy)
+    spec = make_model("sparse_weighted_model", 3, bkgd={"type": "none"})
+    pop = Population(spec)
+    true = pop.sample(jax.random.PRNGKey(0))
+    S, _ = pop.simulate(jax.random.PRNGKey(1), true, 300)
+    data = pop.prepare_data(S)
+    gibbs_sample(pop, data, jax.random.PRNGKey(2), n_samples=5, n_warmup=40,
+                 chunk_size=13)
+    assert seen and set(seen) == {2}

@@ -117,6 +117,43 @@ def warmup_schedule(n_warmup: int):
     return [(b1, "reset"), (b2, "apply_reset"), (b3, "apply")]
 
 
+def warmup_chunk(n_warmup: int, boundaries, chunk_size: int) -> int:
+    """One scan length for the whole warmup phase.
+
+    The chunk runner jit-compiles per STATIC chunk length, and the greedy
+    ``min(chunk_size, next_boundary - it)`` chunking of a boundaried warmup
+    produces several distinct remainders — e.g. n_warmup=1000, chunk 250,
+    boundaries {150, 500, 850} → lengths {150, 250, 100}: three separate
+    XLA compiles of the full sweep scan (each tens of seconds at flagship
+    scale — measured as the dominant non-sampling term of the flagship
+    wall clock). Returns the largest c ≤ chunk_size dividing every
+    adaptation segment, so every warmup chunk is exactly c and the phase
+    compiles ONE program; the extra host dispatches are ~30 ms each
+    (tunnel RTT), orders cheaper than one compile. With no boundaries the
+    same rule folds the final-remainder chunk away (n_warmup=30, chunk 25
+    → one 15-length program instead of {25, 5}). Falls back to
+    ``chunk_size`` (greedy behaviour) if uniformity would need c <
+    chunk_size/10 — a pathological boundary layout where the dispatch
+    overhead could rival a compile.
+
+    NOTE: chunk layout feeds the per-chunk PRNG split, so this choice is
+    part of the (deterministic) sampler configuration: changing it changes
+    trajectories — exactly like changing ``chunk_size`` always has — but
+    resume stays exact because the layout is a pure function of
+    (n_warmup, boundaries, chunk_size).
+    """
+    import math
+
+    stops = sorted({n_warmup, *[b for b, _ in boundaries if 0 < b < n_warmup]})
+    g, prev = 0, 0
+    for b in stops:
+        g, prev = math.gcd(g, b - prev), b
+    if g == 0:
+        return chunk_size
+    c = next((d for d in range(min(chunk_size, g), 0, -1) if g % d == 0), 1)
+    return c if c * 10 >= chunk_size else chunk_size
+
+
 def adapt_boundary(state: dict, action: str) -> dict:
     """Apply a warmup-window boundary action to every HMC block (works on
     chain-batched states too — all ops are elementwise on the leaves)."""
@@ -622,11 +659,13 @@ def gibbs_sample(
     # --- warmup (no collection), with Stan-style adaptation windows
     boundaries = warmup_schedule(n_warmup)
     beta_at = anneal_schedule(n_warmup, anneal_frac)
+    # one chunk length for the whole phase ⇒ one compiled scan program
+    w_chunk = warmup_chunk(n_warmup, boundaries, chunk_size)
     while it_global < n_warmup:
         next_stop = min(
             [n_warmup] + [b for b, _ in boundaries if b > it_global]
         )
-        n = min(chunk_size, next_stop - it_global)
+        n = min(w_chunk, next_stop - it_global)
         k_run, k = jax.random.split(k_run)
         prev_it = it_global
         betas = (

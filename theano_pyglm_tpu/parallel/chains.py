@@ -25,6 +25,7 @@ from theano_pyglm_tpu.inference.mcmc import (
     init_mcmc_state,
     make_sweep,
     thin_chunk,
+    warmup_chunk,
     warmup_schedule,
 )
 from theano_pyglm_tpu.utils.diagnostics import summarize_chains
@@ -266,9 +267,12 @@ def gibbs_sample_chains(
     def run_phase(k_base, phase_start, total, adapt, collect, boundaries=()):
         nonlocal states, it_global
         it = it_global - phase_start
+        # one chunk length per boundaried phase ⇒ one compiled scan program
+        # (warmup_chunk returns chunk_size unchanged when boundaries=())
+        eff_chunk = warmup_chunk(total, boundaries, chunk_size) if boundaries else chunk_size
         while it < total:
             next_stop = min([total] + [b for b, _ in boundaries if b > it])
-            n = min(chunk_size, next_stop - it)
+            n = min(eff_chunk, next_stop - it)
             k_base, k = jax.random.split(k_base)
             prev_it = it
             betas = (
