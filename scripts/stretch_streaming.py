@@ -153,6 +153,7 @@ def main():
     # re-paying simulate/MAP/warmup. Resume requires the same chunk layout:
     # pass --no_probe --chunk_size <chosen> on the retry.
     t0 = time.time()
+    main_ticks = []
     samples, diag, _ = gibbs_sample(
         pop, data, jax.random.PRNGKey(4),
         n_samples=n_s, n_warmup=n_w, thin=1,
@@ -161,8 +162,20 @@ def main():
         row_batch=row_batch,
         checkpoint_dir=os.path.join(args.resultsDir, "ckpt"),
         resume=True,
+        callback=lambda phase, it, st: main_ticks.append((phase, it, time.time())),
     )
     wall = time.time() - t0
+    # steady-state ms/sweep from the chunk-end gaps (first chunk of each
+    # phase pays that phase's XLA compile; the median gap is post-compile)
+    steady = {}
+    for ph in ("warmup", "sample"):
+        gaps = [
+            (t1 - t0_) / (i1 - i0)
+            for (p0, i0, t0_), (p1, i1, t1) in zip(main_ticks, main_ticks[1:])
+            if p0 == p1 == ph and i1 > i0
+        ]
+        if gaps:
+            steady[ph] = sorted(gaps)[len(gaps) // 2]
     half = n_s // 2
     A_post = np.asarray(samples["A"][half:]).mean(axis=0)
     A_true = np.asarray(true["A"])
@@ -184,6 +197,9 @@ def main():
         "row_batch": row_batch,
         "chunk_size": chunk_size,
         "ms_per_sweep": round(wall / (n_w + n_s) * 1e3, 1),
+        "ms_per_sweep_steady": {
+            ph: round(v * 1e3, 1) for ph, v in steady.items()
+        },
         "wall_s": round(wall, 1),
         "accept_rate_glm": round(float(np.asarray(diag["accept_rate_glm"])), 3),
         "accept_rate_imp": round(float(np.asarray(diag["accept_rate_imp"])), 3),

@@ -338,3 +338,17 @@ def test_gibbs_warmup_single_compiled_length(monkeypatch):
     gibbs_sample(pop, data, jax.random.PRNGKey(2), n_samples=5, n_warmup=40,
                  chunk_size=13)
     assert seen and set(seen) == {2}
+
+
+def test_sampling_chunk_divisor_and_thin_alignment():
+    from theano_pyglm_tpu.inference.mcmc import sampling_chunk
+
+    # divides total, keeps thin alignment: 16000 total, thin 10, chunk 250
+    assert sampling_chunk(16000, 250, 10) == 250
+    # total=300, chunk=9, thin=1 -> largest divisor of 300 <= 9 is 6
+    assert sampling_chunk(300, 9, 1) == 6
+    # thin must divide the chosen chunk so device thinning stays engaged
+    c = sampling_chunk(300, 25, 5)
+    assert c % 5 == 0 and 300 % c == 0 and c <= 25
+    # coprime-ish fallback: total prime and > chunk*10 -> greedy chunk
+    assert sampling_chunk(1009, 25, 1) == 25

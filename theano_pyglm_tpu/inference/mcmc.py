@@ -154,6 +154,21 @@ def warmup_chunk(n_warmup: int, boundaries, chunk_size: int) -> int:
     return c if c * 10 >= chunk_size else chunk_size
 
 
+def sampling_chunk(total: int, chunk_size: int, thin: int = 1) -> int:
+    """Uniform chunk length for the (boundary-free) sampling phase: the
+    largest c ≤ chunk_size dividing ``total`` — so the final-remainder chunk
+    never compiles a second scan program — preferring multiples of ``thin``
+    so every chunk keeps the on-device thinning path (a c that breaks the
+    thin|c alignment would silently fall back to collect-every-sweep and
+    re-inflate the host transfer the device thinning removed). Same
+    fallback-to-greedy rule as :func:`warmup_chunk`."""
+    if thin > 1 and chunk_size >= thin and total % thin == 0:
+        base = warmup_chunk(total // thin, (), chunk_size // thin)
+        if (total // thin) % base == 0:
+            return base * thin
+    return warmup_chunk(total, (), chunk_size)
+
+
 def adapt_boundary(state: dict, action: str) -> dict:
     """Apply a warmup-window boundary action to every HMC block (works on
     chain-batched states too — all ops are elementwise on the leaves)."""
@@ -687,9 +702,10 @@ def gibbs_sample(
         if callback is not None:
             callback("warmup", it_global, state)
 
-    # --- sampling
+    # --- sampling (uniform chunk length ⇒ one compiled scan program)
+    s_chunk = sampling_chunk(total, chunk_size, thin)
     while it_global < n_warmup + total:
-        n = min(chunk_size, n_warmup + total - it_global)
+        n = min(s_chunk, n_warmup + total - it_global)
         k_run, k = jax.random.split(k_run)
         prev_it = it_global
         phase = it_global - n_warmup

@@ -24,6 +24,7 @@ from theano_pyglm_tpu.inference.mcmc import (
     adapt_boundary,
     init_mcmc_state,
     make_sweep,
+    sampling_chunk,
     thin_chunk,
     warmup_chunk,
     warmup_schedule,
@@ -267,9 +268,14 @@ def gibbs_sample_chains(
     def run_phase(k_base, phase_start, total, adapt, collect, boundaries=()):
         nonlocal states, it_global
         it = it_global - phase_start
-        # one chunk length per boundaried phase ⇒ one compiled scan program
-        # (warmup_chunk returns chunk_size unchanged when boundaries=())
-        eff_chunk = warmup_chunk(total, boundaries, chunk_size) if boundaries else chunk_size
+        # one chunk length per phase ⇒ one compiled scan program: divisor-
+        # aligned to the adaptation boundaries (warmup) or to total+thin
+        # (sampling — keeps the device-thinning path on every chunk)
+        eff_chunk = (
+            warmup_chunk(total, boundaries, chunk_size)
+            if boundaries
+            else sampling_chunk(total, chunk_size, thin if collect else 1)
+        )
         while it < total:
             next_stop = min([total] + [b for b, _ in boundaries if b > it])
             n = min(eff_chunk, next_stop - it)
