@@ -324,10 +324,12 @@ def test_gibbs_warmup_single_compiled_length(monkeypatch):
     seen = []
     real = mcmc_mod._run_chunk
 
-    def spy(sweep, n_iters, key, state, adapt, collect_every, betas=None):
+    def spy(sweep, n_iters, key, state, adapt, collect_every, betas=None,
+            data=None):
         if bool(adapt):  # warmup chunks only
             seen.append(n_iters)
-        return real(sweep, n_iters, key, state, adapt, collect_every, betas)
+        return real(sweep, n_iters, key, state, adapt, collect_every, betas,
+                    data)
 
     monkeypatch.setattr(mcmc_mod, "_run_chunk", spy)
     spec = make_model("sparse_weighted_model", 3, bkgd={"type": "none"})

@@ -365,7 +365,16 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
             opt = {**opt, "w_stim": opt["w_stim"] @ R_inv_T}
         return opt
 
-    def sweep(key, state, adapt, beta=1.0):
+    def sweep(key, state, adapt, beta=1.0, data=data):
+        # ``data`` defaults to the design dict make_sweep closed over, but the
+        # chunk runners pass it as a TRACED argument instead: a closure-
+        # captured array is inlined into the lowered HLO as a literal, and on
+        # this box every XLA compile ships that HLO through the axon tunnel's
+        # remote_compile endpoint — at stretch scale (N=100, T=600k) the
+        # inlined design made the compile request ~2.9 GB and the tunnel
+        # dropped it (measured: HLO text 291 MB at T=60k, 727 MB at T=150k,
+        # linear in T with a constant op count). As an argument the program
+        # is O(op-count) and the design stays on device.
         params = state["params"]
         k_blocks, k_wh, k_w, k_a, k_y, k_hyp, k_rho, k_rot = jax.random.split(key, 8)
         block_keys = jax.random.split(k_blocks, len(_HMC_BLOCKS))
@@ -481,7 +490,8 @@ def anneal_schedule(n_warmup: int, anneal_frac: float):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 5))
-def _run_chunk(sweep, n_iters, key, state, adapt, collect_every, betas=None):
+def _run_chunk(sweep, n_iters, key, state, adapt, collect_every, betas=None,
+               data=None):
     """Run ``n_iters`` sweeps under lax.scan.
 
     ``collect_every=0`` collects nothing; ``k >= 1`` collects the params
@@ -492,20 +502,27 @@ def _run_chunk(sweep, n_iters, key, state, adapt, collect_every, betas=None):
     The PRNG stream is identical for every ``collect_every``: one key per
     sweep, consumed in iteration order, so the draws are bit-identical to
     the collect-every-sweep path.
+
+    ``data``: the design dict, passed traced so the lowered program does not
+    inline it as an HLO literal (see the note inside ``make_sweep``); with
+    ``None`` the sweep falls back to its closure (compat for small models).
     """
     if betas is None:
         betas = jnp.ones((n_iters,))
+    run_sweep = (
+        sweep if data is None else (lambda k, s, a, b: sweep(k, s, a, b, data))
+    )
 
     def body(carry, inp):
         state, it = carry
         k, beta = inp
-        state = sweep(k, state, adapt, beta)
+        state = run_sweep(k, state, adapt, beta)
         return (state, it + 1), None
 
     def body_collect(carry, inp):
         state, it = carry
         k, beta = inp
-        state = sweep(k, state, adapt, beta)
+        state = run_sweep(k, state, adapt, beta)
         return (state, it + 1), state["params"]
 
     keys = jax.random.split(key, n_iters)
@@ -687,7 +704,8 @@ def gibbs_sample(
             None if beta_at is None
             else jnp.asarray([beta_at(it_global + i) for i in range(n)])
         )
-        state, _ = _run_chunk(sweep, n, k, state, jnp.asarray(True), 0, betas)
+        state, _ = _run_chunk(sweep, n, k, state, jnp.asarray(True), 0, betas,
+                              data)
         # ARS targets the FULL-strength conditional, so skip it while the
         # annealed warmup is still tempering (beta < 1): snapping biases to
         # their untempered conditional mid-anneal would fight the tempered
@@ -714,7 +732,8 @@ def gibbs_sample(
         # fall back to collect-every-sweep + host thinning. Same PRNG stream
         # and identical retained draws either way.
         ce = thin if (thin > 1 and n % thin == 0 and phase % thin == 0) else 1
-        state, samples = _run_chunk(sweep, n, k, state, jnp.asarray(False), ce)
+        state, samples = _run_chunk(sweep, n, k, state, jnp.asarray(False), ce,
+                                    None, data)
         state = apply_bias_ars(state, it_global + n)
         samples = jax.tree.map(np.asarray, samples)
         if ce == 1:

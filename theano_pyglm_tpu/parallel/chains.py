@@ -79,21 +79,27 @@ def _to_host(x):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 5))
-def _run_chunk_chains(vsweep, n_iters, key, states, adapt, collect_every, betas=None):
+def _run_chunk_chains(vsweep, n_iters, key, states, adapt, collect_every,
+                      betas=None, data=None):
     """``collect_every=0``: no collection; ``k >= 1``: collect the chain-
     batched params after sweeps k-1, 2k-1, … (k must divide n_iters for
     k > 1). k > 1 thins ON DEVICE (nested scan) so the per-chunk host
     transfer is 1/k of the raw chains — through the axon tunnel the
     unthinned transfer dominated the flagship wall clock (~30 of 43
     ms/iter). The PRNG stream is one key per sweep in iteration order, so
-    the retained draws are bit-identical for every ``collect_every``."""
+    the retained draws are bit-identical for every ``collect_every``.
+
+    ``data`` is passed traced (not closure-captured) so the design tensors
+    are program *arguments* rather than HLO literals — see the note inside
+    ``make_sweep``: inlined designs made remote compiles ship O(T·N·B)
+    bytes through the tunnel."""
     n_chains = states["glm"].t.shape[0]
     if betas is None:
         betas = jnp.ones((n_iters,))
 
     def body(carry, inp):
         k, beta = inp
-        states = vsweep(jax.random.split(k, n_chains), carry, adapt, beta)
+        states = vsweep(jax.random.split(k, n_chains), carry, adapt, beta, data)
         return states, (states["params"] if collect_every == 1 else None)
 
     keys = jax.random.split(key, n_iters)  # (n, 2)
@@ -167,13 +173,19 @@ def gibbs_sample_chains(
                        row_batch=row_batch, fisher_params=init_params,
                        glm_update=glm_update)
 
-    def vsweep(keys, states, adapt, beta):
+    def vsweep(keys, states, adapt, beta, data=None):
         if mesh is not None:
             # per-chain keys must ride the same sharding as the chain state
             keys = jax.lax.with_sharding_constraint(
                 keys, NamedSharding(mesh, P("chains"))
             )
-        return jax.vmap(sweep, in_axes=(0, 0, None, None))(keys, states, adapt, beta)
+        if data is None:  # compat: fall back to the make_sweep closure
+            return jax.vmap(sweep, in_axes=(0, 0, None, None))(
+                keys, states, adapt, beta
+            )
+        return jax.vmap(sweep, in_axes=(0, 0, None, None, None))(
+            keys, states, adapt, beta, data
+        )
 
     chain_keys = jax.random.split(key, n_chains + 2)
     if init_params is None:
@@ -292,7 +304,7 @@ def gibbs_sample_chains(
             if collect:
                 ce = thin if (thin > 1 and n % thin == 0 and prev_it % thin == 0) else 1
             states, samples = _run_chunk_chains(
-                vsweep, n, k, states, adapt, ce, betas
+                vsweep, n, k, states, adapt, ce, betas, data
             )
             for b, action in boundaries:
                 if prev_it < b <= prev_it + n:
