@@ -57,15 +57,18 @@ def main():
     # chunk uses the SAME length as the timed chunk (chunk length is a static
     # jit arg — a different length would recompile inside the timing window).
     key, k = jax.random.split(key)
-    state, _ = _run_chunk(sweep, args.n_warmup, k, state, jnp.asarray(True), 0)
+    state, _ = _run_chunk(sweep, args.n_warmup, k, state, jnp.asarray(True), 0,
+                          None, data)
     key, k = jax.random.split(key)
-    state, _ = _run_chunk(sweep, args.n_samples, k, state, jnp.asarray(False), 1)
+    state, _ = _run_chunk(sweep, args.n_samples, k, state, jnp.asarray(False), 1,
+                          None, data)
     jax.block_until_ready(state)
 
     # steady-state timed window
     t0 = time.perf_counter()
     key, k = jax.random.split(key)
-    state, samples = _run_chunk(sweep, args.n_samples, k, state, jnp.asarray(False), 1)
+    state, samples = _run_chunk(sweep, args.n_samples, k, state,
+                                jnp.asarray(False), 1, None, data)
     jax.block_until_ready(samples)
     wall = time.perf_counter() - t0
 

@@ -67,18 +67,21 @@ def main():
     state = init_mcmc_state(pop, true)
     key = jax.random.PRNGKey(2)
     key, k = jax.random.split(key)
-    state, _ = _run_chunk(full, args.n_warmup, k, state, jnp.asarray(True), 0)
+    state, _ = _run_chunk(full, args.n_warmup, k, state, jnp.asarray(True), 0,
+                          None, data)
     jax.block_until_ready(state)
 
     def timed(sweep, st, reps, tag):
         """reps iterations in one scan execution; returns ms/iteration."""
         k_tag = jax.random.fold_in(jax.random.PRNGKey(3), hash(tag) % (2**31))
-        # compile (same static shape as the timed call)
-        out, _ = _run_chunk(sweep, reps, k_tag, st, jnp.asarray(False), 0)
+        # compile (same static shape as the timed call); data rides as a
+        # traced arg so the compile upload is O(program), not O(T·N·B)
+        out, _ = _run_chunk(sweep, reps, k_tag, st, jnp.asarray(False), 0,
+                            None, data)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         out, _ = _run_chunk(sweep, reps, jax.random.fold_in(k_tag, 1), st,
-                            jnp.asarray(False), 0)
+                            jnp.asarray(False), 0, None, data)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps * 1e3
 
@@ -96,10 +99,10 @@ def main():
     states_c = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n_c,) + jnp.shape(x)), state
     )
-    chain_sweep = jax.vmap(full, in_axes=(0, 0, None, None))
+    chain_sweep = jax.vmap(full, in_axes=(0, 0, None, None, None))
 
-    def chains_as_sweep(k, st, adapt, beta=1.0):
-        return chain_sweep(jax.random.split(k, n_c), st, adapt, beta)
+    def chains_as_sweep(k, st, adapt, beta=1.0, d=None):
+        return chain_sweep(jax.random.split(k, n_c), st, adapt, beta, d)
 
     ms_chains = timed(chains_as_sweep, states_c, args.reps, "chains")
     print(
