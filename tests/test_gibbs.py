@@ -18,6 +18,7 @@ from theano_pyglm_tpu.inference.gibbs import (
     update_er_rho,
     update_sbm_hypers,
     update_sbm_types,
+    update_sbm_types_collapsed,
 )
 
 
@@ -102,6 +103,92 @@ def test_sbm_type_gibbs_targets_exact_conditional():
     emp = np.bincount(idx, minlength=8).astype(float)
     emp /= emp.sum()
     assert _tv(emp, exact) < 0.05, (emp, exact)
+
+
+def test_sbm_type_collapsed_gibbs_targets_exact_marginal():
+    """The collapsed type kernel (π, B marginalized) iterated alone must
+    target the exact MARGINAL p(y | A): brute-force enumeration of y ∈ K^N
+    with Dirichlet–multinomial class-count evidence and Beta–Bernoulli
+    block-edge evidence over all N² ordered pairs (self-pairs included,
+    matching update_sbm_hypers' counting)."""
+    from scipy.special import betaln, gammaln
+
+    spec = make_model("sbm_weighted_model", 3, bkgd={"type": "none"})
+    pop = Population(spec)
+    params = pop.sample(jax.random.PRNGKey(0))
+    gspec = pop.spec["network"]["graph"]
+    K = int(gspec.get("K", 2))
+    alpha0 = float(gspec.get("alpha0", 1.0))
+    b0, b1 = [float(v) for v in gspec.get("B_prior", (1.0, 1.0))]
+    A = np.asarray(params["A"])
+    N = A.shape[0]
+
+    configs = list(itertools.product(range(K), repeat=N))
+    logw = []
+    for y in configs:
+        y = np.array(y)
+        cnt = np.bincount(y, minlength=K).astype(float)
+        onehot = np.eye(K)[y]
+        E = onehot.T @ A @ onehot
+        P = np.outer(cnt, cnt)
+        lw = gammaln(alpha0 + cnt).sum() + betaln(b0 + E, b1 + (P - E)).sum()
+        logw.append(lw)
+    logw = np.array(logw)
+    exact = np.exp(logw - logw.max())
+    exact /= exact.sum()
+
+    @jax.jit
+    def step(carry, k):
+        p = update_sbm_types_collapsed(k, pop, carry)
+        return p, p["y"]
+
+    n = 8000
+    _, ys = jax.lax.scan(step, params, jax.random.split(jax.random.PRNGKey(3), n))
+    ys = np.asarray(ys)[2000:]
+    idx = ys[:, 0] * 4 + ys[:, 1] * 2 + ys[:, 2]
+    emp = np.bincount(idx, minlength=8).astype(float)
+    emp /= emp.sum()
+    assert _tv(emp, exact) < 0.05, (emp, exact)
+
+
+def test_sbm_collapsed_escapes_adapted_B_mode():
+    """Mobility regression for the acceptance config-4 stall: start from a
+    PARTIAL assignment whose explicit B has conjugately adapted to it (the
+    parked-chain state). The collapsed (y, then hypers) pair must still
+    recover the planted partition."""
+    from theano_pyglm_tpu.utils.diagnostics import adjusted_rand_index
+
+    N = 16
+    spec = make_model("sbm_weighted_model", N, bkgd={"type": "none"})
+    pop = Population(spec)
+    params = dict(pop.sample(jax.random.PRNGKey(0)))
+    y_true = np.array([0] * (N // 2) + [1] * (N - N // 2))
+    Bm = np.array([[0.7, 0.05], [0.05, 0.7]], dtype=np.float32)
+    rng = np.random.RandomState(0)
+    P = Bm[y_true[:, None], y_true[None, :]]
+    A = (rng.rand(N, N) < P).astype(np.float32)
+    np.fill_diagonal(A, 1.0)
+    params["A"] = jnp.asarray(A)
+    # parked state: 5 of 16 neurons misassigned, B adapted to that partition
+    y_bad = y_true.copy()
+    y_bad[[0, 3, 5, 9, 12]] = 1 - y_bad[[0, 3, 5, 9, 12]]
+    params["y"] = jnp.asarray(y_bad)
+    params = update_sbm_hypers(jax.random.PRNGKey(1), pop, params)
+
+    @jax.jit
+    def step(key, params):
+        k1, k2 = jax.random.split(key)
+        params = update_sbm_types_collapsed(k1, pop, params)
+        return update_sbm_hypers(k2, pop, params)
+
+    key = jax.random.PRNGKey(2)
+    aris = []
+    for it in range(40):
+        key, k = jax.random.split(key)
+        params = step(k, params)
+        if it >= 20:
+            aris.append(adjusted_rand_index(np.asarray(params["y"]), y_true))
+    assert np.mean(aris) >= 0.9, np.mean(aris)
 
 
 def test_er_rho_conjugate_posterior():

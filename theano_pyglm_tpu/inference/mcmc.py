@@ -39,7 +39,7 @@ from theano_pyglm_tpu.inference.gibbs import (
     update_glm_laplace_st,
     update_latent_rotation,
     update_sbm_hypers,
-    update_sbm_types,
+    update_sbm_types_collapsed,
     update_weight_hypers,
 )
 from theano_pyglm_tpu.inference.hmc import (
@@ -441,7 +441,11 @@ def make_sweep(pop, data, n_leapfrog: int = 10, target_accept: float = 0.9,
                 k_a, pop, params, data, row_batch=row_batch, beta=beta
             )
         if _on("discrete"):
-            params = update_sbm_types(k_y, pop, params)
+            # Collapsed over (π, B): single-site type moves stay mobile even
+            # when the explicit B has adapted to a partial assignment (the
+            # config-4 parked-chain mode); update_sbm_hypers redraws (π, B)
+            # right after, keeping the partially collapsed sweep exact.
+            params = update_sbm_types_collapsed(k_y, pop, params)
             params = update_sbm_hypers(k_hyp, pop, params)
             params = update_er_rho(k_rho, pop, params)
         # acceptance-1 orientation-gauge draw: mixes the rotation orbit the
