@@ -50,6 +50,7 @@ __all__ = [
     "refresh_disconnected_weights",
     "update_weight_hypers",
     "update_sbm_types",
+    "update_sbm_types_collapsed",
     "update_sbm_hypers",
     "update_er_rho",
 ]
