@@ -283,11 +283,19 @@ def main():
     # (vs {0.749, 1.0, 1.0} without annealing). Four chains make the
     # evidence robust to residual luck: per-chain ARI + cross-chain type
     # agreement are reported, so one parked chain cannot hide.
+    # 2000 sampling sweeps so the scored tail half sits PAST the slow mode:
+    # with the collapsed type kernel the partial-assignment mode is
+    # transient, not absorbing — a windowed-ARI probe (key 5, second data
+    # realization, results/acceptance_r5/sbm_seed_robustness.json) shows
+    # the slowest chain exiting to ARI 1.0 by sweep ~1000 and staying; at
+    # ns=1000 the tail half could still straddle the escape.
+    ns4 = 2 * ns
     samples4, diag4, _ = gibbs_sample_chains(
         pop, data4, jax.random.PRNGKey(5), n_chains=n_chains4,
-        n_samples=ns, n_warmup=ns, chunk_size=min(200, ns),
+        n_samples=ns4, n_warmup=ns, chunk_size=min(200, ns),
         init_params=smart_initialize(pop, data4), anneal_frac=0.5,
     )
+    ns = ns4
     half = ns // 2
     # samples4 leaves are (n_samples, n_chains, ...)
     per_chain_ari, chain_modes = [], []
